@@ -1,0 +1,161 @@
+"""Stereo patch correlation (cost volume) — the TPU-native replacement for
+the external CUDA ``spatial_correlation_sampler`` package the reference
+depends on (README.md:7, models/dsnet_t2.py:1078-1087).
+
+Semantics (SpatialCorrelationSampler(kernel_size=1, patch_size=(ph, pw),
+stride=1, padding=0, dilation_patch=1)):
+
+    out[b, i, j, y, x] = sum_c f1[b, c, y, x] * f2[b, c, y+i-ph//2, x+j-pw//2]
+
+with zeros outside the image. The reference then reshapes to (B, ph*pw, H, W)
+and, for the 2-D case only, divides by the channel count
+(models/dsnet_t2.py:1189-1193).
+
+We work in NHWC and emit the displacement axis as the trailing channel axis
+(B, H, W, ph*pw) — exactly what the consuming 1x1 conv wants, no transpose.
+
+Two implementations:
+
+* ``correlation_lax``   — unrolled shift-multiply-reduce; XLA fuses it well
+                          and it runs on any backend. Ground truth for tests.
+* ``correlation1d_pallas`` — Pallas TPU kernel for the hot 1-D case: loads an
+                          f1 tile and the W-padded f2 tile into VMEM once and
+                          computes all ``pw`` shifts from on-chip memory,
+                          avoiding ``pw`` HBM re-reads of f2.
+
+``correlation`` picks the best available implementation.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves on TPU-enabled builds
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+
+# ---------------------------------------------------------------------------
+# lax reference implementation
+# ---------------------------------------------------------------------------
+
+
+def correlation_lax(
+    f1: jnp.ndarray,
+    f2: jnp.ndarray,
+    patch: Tuple[int, int],
+    normalize: bool = False,
+) -> jnp.ndarray:
+    """Patch correlation, NHWC in / (B,H,W,ph*pw) out.
+
+    normalize=True divides by the channel count (2-D path of the reference).
+    """
+    ph, pw = patch
+    rh, rw = ph // 2, pw // 2
+    b, h, w, c = f1.shape
+    f2p = jnp.pad(f2, ((0, 0), (rh, rh), (rw, rw), (0, 0)))
+    outs = []
+    for i in range(ph):
+        for j in range(pw):
+            shifted = jax.lax.dynamic_slice(
+                f2p, (0, i, j, 0), (b, h, w, c)
+            )
+            outs.append(jnp.sum(f1 * shifted, axis=-1))
+    out = jnp.stack(outs, axis=-1)
+    if normalize:
+        out = out / jnp.asarray(c, out.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel — 1-D correlation
+# ---------------------------------------------------------------------------
+
+
+def _corr1d_kernel(f1_ref, f2p_ref, out_ref, *, pw: int, w: int):
+    """Grid: (B, H_tiles). Blocks: f1 (1,TH,W,C), f2p (1,TH,W+pw-1,C),
+    out (1,TH,W,pw). All shifts computed from VMEM."""
+    f1 = f1_ref[0]  # (TH, W, C)
+    acc_dtype = jnp.float32
+    for d in range(pw):
+        f2s = f2p_ref[0, :, d : d + w, :]  # static slice (TH, W, C)
+        out_ref[0, :, :, d] = jnp.sum(
+            (f1 * f2s).astype(acc_dtype), axis=-1
+        ).astype(out_ref.dtype)
+
+
+def correlation1d_pallas(
+    f1: jnp.ndarray,
+    f2: jnp.ndarray,
+    pw: int,
+    h_tile: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """1-D horizontal correlation via Pallas; NHWC in, (B,H,W,pw) out."""
+    b, h, w, c = f1.shape
+    rw = pw // 2
+    f2p = jnp.pad(f2, ((0, 0), (0, 0), (rw, rw), (0, 0)))
+    h_tile = min(h_tile, h)
+    while h % h_tile != 0:
+        h_tile -= 1
+    grid = (b, h // h_tile)
+
+    kernel = functools.partial(_corr1d_kernel, pw=pw, w=w)
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100),
+        )
+        mem = pltpu.VMEM
+    else:
+        mem = None
+
+    def spec(shape, index_map):
+        if mem is None:
+            return pl.BlockSpec(shape, index_map)
+        return pl.BlockSpec(shape, index_map, memory_space=mem)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, pw), f1.dtype),
+        grid=grid,
+        in_specs=[
+            spec((1, h_tile, w, c), lambda i, j: (i, j, 0, 0)),
+            spec((1, h_tile, w + 2 * rw, c), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_specs=spec((1, h_tile, w, pw), lambda i, j: (i, j, 0, 0)),
+        interpret=interpret,
+        **kwargs,
+    )(f1, f2p)
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+def correlation(
+    f1: jnp.ndarray,
+    f2: jnp.ndarray,
+    patch: Tuple[int, int],
+    normalize: bool = False,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Dispatch: Pallas for 1-D patches on TPU, lax otherwise."""
+    ph, pw = patch
+    if (
+        use_pallas
+        and ph == 1
+        and not normalize
+        and _HAS_PLTPU
+        and jax.default_backend() == "tpu"
+    ):
+        return correlation1d_pallas(f1, f2, pw)
+    return correlation_lax(f1, f2, patch, normalize=normalize)
