@@ -1,0 +1,136 @@
+"""Segmentation losses.
+
+Re-implements the reference loss library (util/utilTorchLoss.py) on NHWC
+jax arrays. Conventions:
+
+* ``log_probs``: log-softmax of the logits, (B,H,W,C)
+* ``gt``: one-hot float ground truth, (B,H,W,C) (already stripped of the
+  ignore channel where applicable, matching multiLosses.py:20)
+* class ``weights``: (C,) or None
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.edges import box_count
+
+
+def categorical_cross_entropy(
+    log_probs: jnp.ndarray, gt: jnp.ndarray, weights: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """utilTorchLoss.py:373-378: mean over pixels of sum_c(-gt * logp * w)."""
+    t = -gt * log_probs
+    if weights is not None:
+        t = t * weights[None, None, None, :]
+    return jnp.mean(jnp.sum(t, axis=-1))
+
+
+def binary_ce(
+    probs: jnp.ndarray, gt: jnp.ndarray, weights: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """utilTorchLoss.py:381-390: per-channel BCELoss summed with weights.
+
+    ``probs`` are sigmoid outputs in (0,1) (multiLosses.py:27).
+    """
+    c = probs.shape[-1]
+    w = weights if weights is not None else jnp.ones((c,), probs.dtype)
+    eps = 1e-12
+    p = jnp.clip(probs, eps, 1.0 - eps)
+    bce = -(gt * jnp.log(p) + (1.0 - gt) * jnp.log(1.0 - p))
+    per_channel = jnp.mean(bce, axis=(0, 1, 2))  # BCELoss mean per channel
+    return jnp.sum(w * per_channel)
+
+
+def categorical_nll(
+    log_probs: jnp.ndarray,
+    gt_full: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+    ignore_index: int = 19,
+) -> jnp.ndarray:
+    """utilTorchLoss.py:393-404 (NLLLoss on argmax labels).
+
+    Reference quirk reproduced: with weights it passes size_average=False so
+    the result is the weighted SUM, not mean.
+    """
+    labels = jnp.argmax(gt_full, axis=-1)
+    valid = (labels != ignore_index).astype(log_probs.dtype)
+    picked = jnp.take_along_axis(log_probs, labels[..., None], axis=-1)[..., 0]
+    if weights is not None:
+        w = weights[labels] * valid
+        return jnp.sum(-picked * w)
+    return jnp.sum(-picked * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def tversky_loss2(
+    probs: jnp.ndarray, gt: jnp.ndarray, weights: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """utilTorchLoss.py:407-426 — soft focal tversky (alpha=.7, beta=1, gamma=1)."""
+    smooth = 1e-6
+    beta = 1.0
+    alpha = 0.7
+    tp = jnp.sum(gt * probs, axis=(1, 2))
+    fn = jnp.sum(gt * (1.0 - probs), axis=(1, 2))
+    fp = jnp.sum((1.0 - gt) * probs, axis=(1, 2))
+    index = tp / (tp + beta * fn + (1.0 - alpha) * fp + smooth)
+    loss = jnp.mean(1.0 - index, axis=0)  # mean over batch -> (C,)
+    if weights is not None:
+        loss = loss * weights
+    return jnp.mean(loss)
+
+
+def dice_loss(log_probs: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """utilTorchLoss.py:429-436. NB the reference applies softmax to its
+    input, which is already log-softmax — softmax(log_softmax(x)) ==
+    softmax(x), so passing log_probs here is exact."""
+    y = jax.nn.softmax(log_probs, axis=-1)
+    num = 2.0 * jnp.sum(y * gt, axis=(1, 2))
+    den = jnp.sum(y, axis=(1, 2)) + jnp.sum(gt, axis=(1, 2)) + 1.0
+    thr = (jnp.sum(gt, axis=(1, 2)) > 1).astype(y.dtype)
+    return jnp.mean(thr - num / den)
+
+
+def dice_entropy(log_probs: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """utilTorchLoss.py:439-448 — dice-weighted cross entropy."""
+    sm = jax.nn.softmax(log_probs, axis=-1)
+    num = 2.0 * jnp.sum(sm * gt, axis=(1, 2), keepdims=True)
+    den = (
+        jnp.sum(sm, axis=(1, 2), keepdims=True)
+        + jnp.sum(gt, axis=(1, 2), keepdims=True)
+        + 1.0
+    )
+    thr = (jnp.sum(gt, axis=(1, 2), keepdims=True) > 1).astype(sm.dtype)
+    dice = 10.0 * (thr - num / den)  # (B,1,1,C), broadcast like the weights
+    return jnp.mean(jnp.sum(-gt * log_probs * dice, axis=-1))
+
+
+def area_ce_loss(
+    log_probs: jnp.ndarray, gt: jnp.ndarray, area_dim: int = 5
+) -> jnp.ndarray:
+    """utilTorchLoss.py:484-505 — box-filtered region cross entropy.
+
+    Uses VALID depthwise all-ones convs (F.conv2d with no padding), masks
+    regions entirely inside one class, rescales by the area, then applies the
+    categorical CE formula on the region maps."""
+    total = float(area_dim * area_dim)
+    conv_gt = box_count(gt, area_dim, padding="VALID")
+    conv_pred = box_count(log_probs, area_dim, padding="VALID")
+    mask = (conv_gt == total).astype(log_probs.dtype)
+    conv_gt = conv_gt * mask / total
+    conv_pred = conv_pred * mask / total
+    return categorical_cross_entropy(conv_pred, conv_gt)
+
+
+def area_hinge_loss(log_probs: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """utilTorchLoss.py:469-481 — squared region-occupancy difference."""
+    area = 5
+    total = float(area * area)
+    conv_gt = box_count(gt, area, padding="VALID")
+    conv_pred = box_count(jax.nn.softmax(log_probs, axis=-1), area, padding="VALID")
+    mask = (conv_gt == total).astype(log_probs.dtype)
+    conv_gt = conv_gt * mask / total
+    conv_pred = conv_pred * mask / total
+    dif = (conv_gt - conv_pred) ** 2
+    return jnp.mean(jnp.sum(dif, axis=-1))

@@ -1,0 +1,318 @@
+"""Loss parity tests vs the torch reference (used as a CPU oracle)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from pmt_learning_for_semantic_segmentation_and_disparity_tpu import losses
+
+from reference_oracle import load_reference
+
+load_reference()
+
+
+def _to_torch_nchw(x):
+    return torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+
+
+def _rand_case(rng, b=2, h=8, w=12, c=3):
+    logits = rng.standard_normal((b, h, w, c), dtype=np.float32)
+    labels = rng.integers(0, c, (b, h, w))
+    gt = np.eye(c, dtype=np.float32)[labels]
+    return logits, labels, gt
+
+
+def test_categorical_cross_entropy_parity(rng):
+    from util.utilTorchLoss import categoricalCrossEntropy
+
+    logits, _, gt = _rand_case(rng)
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    ref = categoricalCrossEntropy(_to_torch_nchw(logp), _to_torch_nchw(gt)).item()
+    got = float(losses.categorical_cross_entropy(jnp.asarray(logp), jnp.asarray(gt)))
+    assert abs(got - ref) < 1e-5
+
+    w = np.array([1.0, 2.0, 0.5], np.float32)
+    ref_w = categoricalCrossEntropy(
+        _to_torch_nchw(logp), _to_torch_nchw(gt), torch.from_numpy(w.reshape(1, 3, 1, 1))
+    ).item()
+    got_w = float(
+        losses.categorical_cross_entropy(jnp.asarray(logp), jnp.asarray(gt), jnp.asarray(w))
+    )
+    assert abs(got_w - ref_w) < 1e-5
+
+
+def test_tversky_loss2_parity(rng):
+    from util.utilTorchLoss import tversky_loss2
+
+    logits, _, gt = _rand_case(rng)
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    w = np.ones((3,), np.float32)
+    ref = tversky_loss2(
+        _to_torch_nchw(probs), _to_torch_nchw(gt), torch.from_numpy(w.reshape(1, 3, 1, 1))
+    ).item()
+    got = float(losses.tversky_loss2(jnp.asarray(probs), jnp.asarray(gt), jnp.asarray(w)))
+    assert abs(got - ref) < 1e-5
+
+
+def test_dice_loss_parity(rng):
+    from util.utilTorchLoss import dice_loss
+
+    logits, _, gt = _rand_case(rng)
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    ref = dice_loss(_to_torch_nchw(logp), _to_torch_nchw(gt)).item()
+    got = float(losses.dice_loss(jnp.asarray(logp), jnp.asarray(gt)))
+    assert abs(got - ref) < 1e-5
+
+
+def test_dice_entropy_parity(rng):
+    from util.utilTorchLoss import diceEntropy
+
+    logits, _, gt = _rand_case(rng)
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    ref = diceEntropy(_to_torch_nchw(logp), _to_torch_nchw(gt)).item()
+    got = float(losses.dice_entropy(jnp.asarray(logp), jnp.asarray(gt)))
+    assert abs(got - ref) < 1e-4
+
+
+def test_area_ce_loss_parity(rng):
+    from util.utilTorchLoss import area_ce_loss
+
+    logits, _, gt = _rand_case(rng, h=12, w=12)
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    for dim in (5, 7):
+        ref = area_ce_loss(_to_torch_nchw(logp), _to_torch_nchw(gt), area_dim=dim).item()
+        got = float(losses.area_ce_loss(jnp.asarray(logp), jnp.asarray(gt), area_dim=dim))
+        assert abs(got - ref) < 1e-4, dim
+
+
+def test_area_hinge_loss_parity(rng):
+    from util.utilTorchLoss import area_hinge_loss
+
+    logits, _, gt = _rand_case(rng, h=12, w=12)
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    ref = area_hinge_loss(_to_torch_nchw(logp), _to_torch_nchw(gt)).item()
+    got = float(losses.area_hinge_loss(jnp.asarray(logp), jnp.asarray(gt)))
+    assert abs(got - ref) < 1e-5
+
+
+def test_binary_ce_parity(rng):
+    from util.utilTorchLoss import binaryCE
+
+    logits, _, gt = _rand_case(rng)
+    probs = 1.0 / (1.0 + np.exp(-logits))
+    ref = binaryCE(_to_torch_nchw(probs), _to_torch_nchw(gt)).item()
+    got = float(losses.binary_ce(jnp.asarray(probs), jnp.asarray(gt)))
+    assert abs(got - ref) < 1e-5
+
+
+def test_lovasz_softmax_parity(rng):
+    from util.lovasz_losses import lovasz_softmax as ref_lovasz
+
+    logits, labels, _ = _rand_case(rng, c=4)
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    ref = ref_lovasz(
+        _to_torch_nchw(probs), torch.from_numpy(labels.astype(np.int64))
+    ).item()
+    got = float(losses.lovasz_softmax(jnp.asarray(probs), jnp.asarray(labels)))
+    assert abs(got - ref) < 1e-5
+
+
+def test_lovasz_softmax_with_ignore_parity(rng):
+    from util.lovasz_losses import lovasz_softmax as ref_lovasz
+
+    b, h, w, c = 2, 8, 10, 4
+    logits = rng.standard_normal((b, h, w, c), dtype=np.float32)
+    labels = rng.integers(0, c + 1, (b, h, w))  # c == ignore sometimes
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    ref = ref_lovasz(
+        _to_torch_nchw(probs), torch.from_numpy(labels.astype(np.int64)), ignore=c
+    ).item()
+    got = float(losses.lovasz_softmax(jnp.asarray(probs), jnp.asarray(labels), ignore=c))
+    assert abs(got - ref) < 1e-5
+
+
+def test_lovasz_absent_class_parity(rng):
+    from util.lovasz_losses import lovasz_softmax as ref_lovasz
+
+    b, h, w, c = 1, 6, 6, 3
+    logits = rng.standard_normal((b, h, w, c), dtype=np.float32)
+    labels = np.zeros((b, h, w), np.int64)  # classes 1,2 absent
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    ref = ref_lovasz(_to_torch_nchw(probs), torch.from_numpy(labels)).item()
+    got = float(losses.lovasz_softmax(jnp.asarray(probs), jnp.asarray(labels)))
+    assert abs(got - ref) < 1e-5
+
+
+def test_ohem_parity(rng):
+    from losses.ohm_loss import OhemCrossEntropy2d
+
+    b, h, w, c = 2, 8, 10, 5
+    logits = rng.standard_normal((b, h, w, c), dtype=np.float32) * 3
+    labels = rng.integers(0, c, (b, h, w))
+    # sprinkle ignore pixels (index 19 used by reference; use c-1 < 19 here is
+    # wrong — the reference hardcodes 19, so only test without real ignores
+    # plus a separate case with ignore_index == 4)
+    ref_mod = OhemCrossEntropy2d(ignore_index=4)
+    ref = ref_mod(
+        _to_torch_nchw(logits), torch.from_numpy(labels.astype(np.int64))
+    ).item()
+    got = float(
+        losses.ohem_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(labels), ignore_index=4
+        )
+    )
+    assert abs(got - ref) < 1e-4
+
+
+def test_multi_tversky_forward_parity(rng):
+    from TverskyLoss.multitverskyloss import MultiTverskyLoss
+
+    b, h, w, c = 2, 8, 8, 3
+    logits = rng.standard_normal((b, h, w, c), dtype=np.float32)
+    labels = rng.integers(0, c, (b, h, w))
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    ref_mod = MultiTverskyLoss(alpha=0.7, beta=0.3, gamma=3 / 4)
+    ref = ref_mod(
+        _to_torch_nchw(probs), torch.from_numpy(labels.astype(np.int64))
+    ).item()
+    got = float(losses.multi_tversky_loss(jnp.asarray(probs), jnp.asarray(labels)))
+    assert abs(got - ref) < 1e-5
+
+
+def test_multi_tversky_backward_parity(rng):
+    from TverskyLoss.multitverskyloss import MultiTverskyLoss
+
+    b, h, w, c = 1, 6, 6, 2
+    logits = rng.standard_normal((b, h, w, c), dtype=np.float32)
+    labels = rng.integers(0, c, (b, h, w))
+    probs_t = torch.from_numpy(
+        np.transpose(
+            np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1)), (0, 3, 1, 2)
+        )
+    ).requires_grad_(True)
+    ref_mod = MultiTverskyLoss(alpha=0.7, beta=0.3, gamma=3 / 4)
+    ref_loss = ref_mod(probs_t, torch.from_numpy(labels.astype(np.int64)))
+    ref_loss.backward()
+    ref_grad = probs_t.grad.numpy().transpose(0, 2, 3, 1)
+
+    probs_j = jnp.asarray(np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1)))
+    got_grad = np.asarray(
+        jax.grad(lambda p: losses.multi_tversky_loss(p, jnp.asarray(labels)))(probs_j)
+    )
+    np.testing.assert_allclose(got_grad, ref_grad, rtol=1e-4, atol=1e-6)
+
+
+def test_smoothing_gradients_parity(rng):
+    from util.utilTorchLoss import smoothing_gradients as ref_smooth
+
+    b, h, w, c = 1, 10, 12, 3
+    left = rng.random((b, h, w, 3)).astype(np.float32)
+    disp = rng.random((b, h, w, 1)).astype(np.float32) * 50
+    labels = rng.integers(0, c, (b, h, w))
+    seg = np.eye(c, dtype=np.float32)[labels]
+    ref = ref_smooth(
+        _to_torch_nchw(left), _to_torch_nchw(disp), _to_torch_nchw(seg)
+    ).item()
+    got = float(
+        losses.smoothing_gradients(jnp.asarray(left), jnp.asarray(disp), jnp.asarray(seg))
+    )
+    assert abs(got - ref) < 1e-4
+
+
+def test_balanced_edge_bce_parity(rng):
+    # literal torch transcription of lossEdge_fn (multiLosses.py:166-182);
+    # importing the module itself needs torchvision, absent in this image.
+    import torch.nn.functional as F
+
+    b, h, w = 2, 8, 8
+    edges = (rng.random((b, 1, h, w)) > 0.8).astype(np.float32)
+    pred = rng.standard_normal((b, 1, h, w)).astype(np.float32)
+    e_t, p_t = torch.from_numpy(edges), torch.from_numpy(pred)
+    pos = (e_t == 1).sum().item()
+    neg = (e_t == 0).sum().item()
+    weight = torch.where(
+        e_t == 1, torch.tensor(neg / (pos + neg)), torch.tensor(pos / (pos + neg))
+    )
+    ref = F.binary_cross_entropy_with_logits(p_t, e_t, weight).item()
+    got = float(
+        losses.balanced_edge_bce(
+            jnp.asarray(np.transpose(pred, (0, 2, 3, 1))),
+            jnp.asarray(np.transpose(edges, (0, 2, 3, 1))),
+        )
+    )
+    assert abs(got - ref) < 1e-5
+
+
+def test_masked_l1():
+    p = jnp.asarray(np.array([[1.0, 2.0], [3.0, 4.0]], np.float32))
+    g = jnp.asarray(np.array([[1.5, 0.0], [2.0, 4.0]], np.float32))
+    assert abs(float(losses.masked_l1(p, g)) - np.mean([0.5, 2.0, 1.0, 0.0])) < 1e-6
+    got = float(losses.masked_l1(p, g, mask=g > 0))
+    assert abs(got - np.mean([0.5, 0.0, 1.0, 0.0])) < 1e-6
+
+
+def test_composed_flagship_loss_runs(rng):
+    """The canonical config: cross_entropy + lovasz on roses (2 classes)."""
+    fn = losses.compose_seg_loss(
+        ["cross_entropy", "lovasz_loss"], "roses", 2, seg_weight=True
+    )
+    logits = jnp.asarray(rng.standard_normal((2, 16, 16, 2), dtype=np.float32))
+    labels = rng.integers(0, 2, (2, 16, 16))
+    gt = jnp.asarray(np.eye(2, dtype=np.float32)[labels])
+    val = jax.jit(fn)(logits, gt)
+    assert np.isfinite(float(val))
+
+    # parity with the reference composition for this config
+    from util.utilTorchLoss import categoricalCrossEntropy
+    from util.lovasz_losses import lovasz_softmax as ref_lovasz
+
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    w = torch.ones(1, 2, 1, 1)
+    ref = (
+        categoricalCrossEntropy(
+            _to_torch_nchw(np.asarray(logp)), _to_torch_nchw(np.asarray(gt)), w
+        )
+        + ref_lovasz(
+            _to_torch_nchw(np.asarray(jax.nn.softmax(logits, -1))),
+            torch.from_numpy(labels.astype(np.int64)),
+        )
+    ).item()
+    assert abs(float(val) - ref) < 1e-4
+
+
+def test_multitask_loss_matches_torch(rng):
+    b, h, w, c = 1, 6, 6, 4
+    disp = rng.standard_normal((b, h, w, 1), dtype=np.float32)
+    disp_gt = rng.standard_normal((b, h, w, 1), dtype=np.float32)
+    seg_logits = rng.standard_normal((b, h, w, c), dtype=np.float32)
+    labels = rng.integers(0, c, (b, h, w))
+    lvd, lv1, lv2 = 0.3, -0.2, 0.1
+
+    ld, l1, l2 = losses.multitask_loss(
+        jnp.asarray(lvd), jnp.asarray(lv1), jnp.asarray(lv2),
+        jnp.asarray(disp), jnp.asarray(disp_gt),
+        jnp.asarray(seg_logits), jnp.asarray(seg_logits), jnp.asarray(labels),
+        ignore_index=19,
+    )
+    import torch.nn.functional as F
+
+    t_ld = (
+        torch.exp(torch.tensor(-lvd))
+        * F.l1_loss(
+            torch.from_numpy(disp), torch.from_numpy(disp_gt), reduction="none"
+        )
+        + lvd
+    )
+    t_l1 = (
+        torch.exp(torch.tensor(-lv1))
+        * F.cross_entropy(
+            _to_torch_nchw(seg_logits),
+            torch.from_numpy(labels.astype(np.int64)),
+            ignore_index=19,
+            reduction="none",
+        )
+        + lv1
+    )
+    assert abs(float(jnp.mean(ld)) - t_ld.mean().item()) < 1e-5
+    assert abs(float(jnp.mean(l1)) - t_l1.mean().item()) < 1e-5
