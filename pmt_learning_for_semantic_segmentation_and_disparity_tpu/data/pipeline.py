@@ -1,0 +1,127 @@
+"""Input pipeline: threaded host-side loading + sharded device prefetch.
+
+TPU-native replacement for torch DataLoader + DistributedSampler
+(torch_implementation.py:772-790): one host process feeds the whole mesh;
+batches are device_put with the batch dim sharded over the 'data' axis, with
+a double-buffer so host loading overlaps device compute.
+"""
+from __future__ import annotations
+
+import collections
+import concurrent.futures as futures
+import itertools
+import queue
+import threading
+from typing import Dict, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import batch_sharding
+
+
+def _stack(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    keys = [k for k in samples[0] if k != "meta"]
+    out = {k: np.stack([s[k] for s in samples]) for k in keys}
+    out["meta"] = [s.get("meta") for s in samples]
+    return out
+
+
+def pad_to_bucket(batch: Dict[str, np.ndarray], bucket_hw) -> Dict[str, np.ndarray]:
+    """Pad spatial dims up to a static eval bucket (XLA needs fixed shapes;
+    the reference's 'crop [0,0] = full image' path is dynamic)."""
+    bh, bw = bucket_hw
+    out = {}
+    for k, v in batch.items():
+        if k == "meta" or not isinstance(v, np.ndarray) or v.ndim != 4:
+            out[k] = v
+            continue
+        _, h, w, _ = v.shape
+        if h > bh or w > bw:
+            v = v[:, :bh, :bw]
+            h, w = v.shape[1:3]
+        if (h, w) != (bh, bw):
+            v = np.pad(v, ((0, 0), (0, bh - h), (0, bw - w), (0, 0)))
+        out[k] = v
+    return out
+
+
+class DataLoader:
+    """Minimal epoch-based loader: shuffling, worker threads, drop_last."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 4,
+        seed: int = 0,
+        drop_last: bool = True,
+        bucket_hw=None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.bucket_hw = bucket_hw
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+        # re-seed the per-sample augmentation stream like DistributedSampler
+        # set_epoch does (torch_implementation.py:884)
+        if hasattr(self.dataset, "seed"):
+            self.dataset.seed = self.seed + epoch
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(idx)
+        with futures.ThreadPoolExecutor(self.num_workers) as pool:
+            for start in range(0, n, self.batch_size):
+                chunk = idx[start : start + self.batch_size]
+                if len(chunk) < self.batch_size and self.drop_last:
+                    break
+                samples = list(pool.map(self.dataset.__getitem__, chunk))
+                batch = _stack(samples)
+                if self.bucket_hw is not None:
+                    batch = pad_to_bucket(batch, self.bucket_hw)
+                yield batch
+
+
+def prefetch_to_mesh(iterator, mesh, size: int = 2):
+    """Double-buffered sharded device prefetch. Drops 'meta' (host-only)."""
+    sharding = batch_sharding(mesh)
+    buf = collections.deque()
+
+    def put(b):
+        meta = b.pop("meta", None)
+        dev = {
+            k: jax.device_put(v, sharding)
+            for k, v in b.items()
+            if isinstance(v, np.ndarray)
+        }
+        return dev, meta
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            buf.append(put(dict(next(it))))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(dict(next(it))))
+        except StopIteration:
+            pass
+        yield out

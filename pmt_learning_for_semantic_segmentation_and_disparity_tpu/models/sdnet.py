@@ -1,0 +1,350 @@
+"""The SDNet family — joint segmentation + disparity two-head stereo nets.
+
+TPU-native re-design of models/dsnet_t2.py. All modules are NHWC flax; the
+CUDA ``SpatialCorrelationSampler`` is replaced by ops.correlation (Pallas on
+TPU); interpolation modes follow the reference call-for-call (nearest unless
+noted bilinear).
+
+Outputs use a dict with the reference's head structure:
+  seg1   — segNet head (log-softmax applied by the loss, not here)
+  disp1  — disparity head
+  seg2   — refined seg head (the one whose IoU selects 'best' checkpoints)
+  mt     — optional (loss_disp, loss_seg1, loss_seg2) Kendall terms
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..core.config import ModelConfig
+from ..core.registry import MODELS
+from ..losses.multitask import multitask_loss
+from ..ops.correlation import correlation
+from ..ops.resize import resize_bilinear, resize_nearest, upsample_nearest
+from .blocks import Conv2DownUp, ConvBN, ConvOut
+from .pyramid import PiramidNet2
+
+# (segnet_input, inplane_seg2 @ aspp0) per backbone — dsnet_t2.py:954-1053
+_BACKBONE_DIMS = {
+    "densenet": (2048, 512),
+    "dn169": (3328, 512),
+    "dn201": (3840, 512),
+    "dn161": (4416, 640),
+    "mobilenet": (320, 304),
+    "resnet50": (512, 768),
+    "resnet101": (512, 768),
+}
+
+
+class SegNetHead(nn.Module):
+    """segNet (dsnet_t2.py:915-938): coarse seg decoder over cat(a4, b4).
+
+    Returns (x @ deepest/2, x1 @ deepest/4, seg logits @ full res)."""
+
+    labels: int
+    dropout: float = 0.0
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, full_hw: Tuple[int, int], xleft, train: bool = False):
+        x = upsample_nearest(x, 2)
+        x = nn.relu(
+            ConvBN(64, 1, batchnorm=False, axis_name=self.axis_name,
+                   name="conv1d_1")(x, train)
+        )
+        x = Conv2DownUp(32, 3, dropout=self.dropout, axis_name=self.axis_name,
+                        name="cdu1")(x, train)
+        x1 = upsample_nearest(x, 2)
+        x1_1 = resize_nearest(x, (xleft.shape[1], xleft.shape[2]))
+        x1_1 = jnp.concatenate([x1_1, xleft], axis=-1)
+        x1_1 = nn.relu(
+            ConvBN(32, 1, batchnorm=False, axis_name=self.axis_name,
+                   name="conv1d_2")(x1_1, train)
+        )
+        seg = Conv2DownUp(32, 3, last_layer=False, dropout=self.dropout,
+                          axis_name=self.axis_name, name="cdu2")(x1_1, train)
+        seg = ConvOut(self.labels, 3, name="out")(seg)
+        seg = resize_nearest(seg, full_hw)
+        return x, x1, seg
+
+
+class MiniDSNetExt(nn.Module):
+    """minidsnetExt (dsnet_t2.py:941-1299) — the flagship.
+
+    Supports aspp modes 0/1/2, cross-task attention gates (use_att),
+    no_dec1/no_dec3 ablations, convDeconvOut duplexing, Kendall multitask
+    modes 1/2, and the 4th edge input channel.
+    """
+
+    cfg: ModelConfig
+    labels: int = 2
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        input_a: jnp.ndarray,
+        input_b: jnp.ndarray,
+        train: bool = False,
+        pos=None,
+        disp_gt: Optional[jnp.ndarray] = None,
+        seg_labels: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, Any]:
+        m = self.cfg
+        ax = self.axis_name
+        dropout = m.dropout
+        aspp_mod = m.aspp
+        backbone = m.backbone
+        segnet_input, inplane_seg2 = _BACKBONE_DIMS[backbone]
+        patch = (1, 17) if m.corr_type == "1dcorr" else (17, 17)
+        ablation = m.ablation or ()
+
+        left = input_a[..., :3] if m.edges else input_a
+        right = input_b[..., :3] if m.edges else input_b
+        full_hw = (left.shape[1], left.shape[2])
+
+        pyr = PiramidNet2(backbone=backbone, axis_name=ax, name="features")
+        a0, a1, a2, a3, a4, a_py2, a_py1, a_py0 = pyr(left, train)
+        b0, b1, b2, b3, b4, b_py2, b_py1, b_py0 = pyr(right, train)
+
+        # Kendall decoder-only mode (dsnet_t2.py:1162-1168)
+        if m.multaskloss == 2:
+            d = ConvBN(256, 1, relu=True, axis_name=ax, name="mt_disp_c1")(a4, train)
+            d = nn.Conv(1, (3, 3), padding="SAME", use_bias=False,
+                        name="mt_disp_c2")(d)
+            s = ConvBN(256, 1, relu=True, axis_name=ax, name="mt_seg_c1")(a4, train)
+            s = nn.Conv(self.labels, (3, 3), padding="SAME", use_bias=False,
+                        name="mt_seg_c2")(s)
+            d = resize_bilinear(d, full_hw)
+            s = resize_nearest(s, full_hw)
+            lv_d = self.param("log_var_disp", nn.initializers.zeros, (1,))
+            lv_s1 = self.param("log_var_seg1", nn.initializers.zeros, (1,))
+            mt = multitask_loss(lv_d, lv_s1, None, d, disp_gt, s, None, seg_labels)
+            return {"seg1": s, "disp1": d, "seg2": s, "disp2": d, "mt": mt}
+
+        # 5x5 dilation-2 single-channel image convs (dsnet_t2.py:1176-1179)
+        def ba(name):
+            return nn.relu(
+                ConvBN(1, 5, dilation=2, axis_name=ax, name=name)(input_a, train)
+            )
+
+        xleft3 = ba("conv2d_ba3")  # kept for parity; unused in this variant
+        xleft2 = ba("conv2d_ba1")
+        xleft1 = ba("conv2d_ba2")
+        xleft0 = ba("conv2d_ba0")
+        del xleft3
+
+        if backbone in ("resnet50", "resnet101"):
+            from .aspp import ASPP
+
+            aspp4 = ASPP(output_stride=16, axis_name=ax, name="aspp_4")
+            a4 = aspp4(a4, train)
+            b4 = aspp4(b4, train)
+
+        # head 1: coarse seg decoder on concatenated deepest features
+        x = jnp.concatenate([a4, b4], axis=-1)
+        x, x1, seg_branch = SegNetHead(
+            self.labels, dropout=dropout, axis_name=ax, name="segNet"
+        )(x, full_hw, xleft0, train)
+
+        # cost volume at 1/8 (pyramid-enriched tap 2) — Pallas on TPU
+        y = correlation(
+            a_py2, b_py2, patch, normalize=(m.corr_type != "1dcorr")
+        )
+        y = nn.relu(ConvBN(128, 1, batchnorm=False, axis_name=ax,
+                           name="corrConv2d")(y, train))
+        if "no_dec1" in ablation:
+            y1 = Conv2DownUp(128, 3, dropout=dropout, axis_name=ax,
+                             name="cdu3")(a_py2, train)
+        else:
+            y1 = Conv2DownUp(128, 3, dropout=dropout, axis_name=ax,
+                             name="cdu3")(x1, train)
+        y1 = resize_bilinear(y1, (y.shape[1], y.shape[2]))
+        y = jnp.concatenate([y1, y], axis=-1)
+        y = Conv2DownUp(64, 3, dropout=dropout, axis_name=ax, name="cdu4")(y, train)
+
+        # disparity head
+        y2 = upsample_nearest(y, 8)
+        xl2 = resize_bilinear(xleft2, (y2.shape[1], y2.shape[2]))
+        disp = jnp.concatenate([y2, xl2], axis=-1)
+        disp = nn.relu(ConvBN(64, 1, batchnorm=False, axis_name=ax,
+                              name="conv1d_2")(disp, train))
+        disp = Conv2DownUp(64, 5, last_layer=False, dropout=dropout,
+                           axis_name=ax, name="cdu5")(disp, train)
+        disp = ConvOut(1, 5, name="dispoutConv")(disp)
+        disp_out = resize_bilinear(disp, full_hw)
+
+        # head 2 feature selection by aspp mode (dsnet_t2.py:1226-1237)
+        if aspp_mod == 1:
+            from .aspp import ASPP
+
+            s2 = ASPP(output_stride=32, axis_name=ax, name="aspp")(a1, train)
+            feature_channel = 1
+        elif aspp_mod == 2:
+            from .aspp import ASPP
+
+            aspp = ASPP(output_stride=32, axis_name=ax, name="aspp")
+            s2_1 = aspp(a3, train)
+            s2_2 = aspp(b3, train)
+            s2_corr = correlation(s2_1, s2_2, (1, 17))
+            s2 = jnp.concatenate([s2_corr, s2_1], axis=-1)
+            feature_channel = 64
+        else:
+            s2 = jnp.concatenate([a_py1, b_py1], axis=-1)
+            feature_channel = 1
+
+        s2 = nn.relu(ConvBN(128, 1, batchnorm=False, axis_name=ax,
+                            name="conv1d_4")(s2, train))
+        s2 = Conv2DownUp(64, 3, dropout=dropout, axis_name=ax, name="cdu6")(s2, train)
+
+        y3 = resize_nearest(y, (s2.shape[1], s2.shape[2]))
+
+        if "no_dec3" not in ablation:
+            if m.use_att:
+                s2_d = jnp.concatenate([s2, y3], axis=-1)
+                s2_d = Conv2DownUp(64, 3, dropout=dropout, axis_name=ax,
+                                   name="cdu7")(s2_d, train)
+                at_d = nn.sigmoid(
+                    ConvBN(1, 1, batchnorm=False, axis_name=ax,
+                           name="conv1d_at_d")(s2_d, train)
+                )
+                at_d = nn.Dropout(dropout, deterministic=not train)(at_d)
+                x3 = Conv2DownUp(64, 3, dropout=dropout, axis_name=ax,
+                                 name="cdu8")(x1, train)
+                x3 = resize_nearest(x3, (s2.shape[1], s2.shape[2]))
+                s2_s = jnp.concatenate([s2, x3], axis=-1)
+                s2_s = Conv2DownUp(64, 3, dropout=dropout, axis_name=ax,
+                                   name="cdu9")(s2_s, train)
+                at_s = nn.sigmoid(
+                    ConvBN(1, 1, batchnorm=False, axis_name=ax,
+                           name="conv1d_at_s")(s2_s, train)
+                )
+                at_s = nn.Dropout(dropout, deterministic=not train)(at_s)
+                s2 = jnp.concatenate([s2_d * at_s, s2_s * at_d], axis=-1)
+            else:
+                x3 = Conv2DownUp(64, 3, dropout=dropout, axis_name=ax,
+                                 name="cdu8")(x1, train)
+                x3 = resize_nearest(x3, (s2.shape[1], s2.shape[2]))
+                s2 = jnp.concatenate([s2, x3, y3], axis=-1)
+        s2 = Conv2DownUp(64, 3, dropout=dropout, axis_name=ax, name="cdu10")(s2, train)
+
+        if aspp_mod == 2:
+            s2 = resize_nearest(s2, (a0.shape[1], a0.shape[2]))
+            s2 = jnp.concatenate([s2, a0], axis=-1)
+            sb2 = nn.relu(ConvBN(32, 1, batchnorm=False, axis_name=ax,
+                                 name="conv1d_5")(s2, train))
+            sb2 = Conv2DownUp(32, 3, last_layer=False, dropout=dropout,
+                              axis_name=ax, name="cdu11")(sb2, train)
+            sb2 = ConvOut(self.labels, 3, name="cdu11_out")(sb2)
+            seg_branch2 = resize_nearest(sb2, full_hw)
+        else:
+            s2 = resize_nearest(s2, (xleft1.shape[1], xleft1.shape[2]))
+            s2 = jnp.concatenate([s2, xleft1], axis=-1)
+            sb2 = nn.relu(ConvBN(32, 1, batchnorm=False, axis_name=ax,
+                                 name="conv1d_5")(s2, train))
+            sb2 = Conv2DownUp(32, 3, last_layer=False,
+                              dropout=dropout if not m.conv_deconv_out else 0.0,
+                              axis_name=ax, name="cdu11")(sb2, train)
+            if m.conv_deconv_out:
+                sb2_2 = nn.Conv(self.labels, (3, 3), padding="SAME",
+                                use_bias=False,
+                                kernel_init=nn.initializers.variance_scaling(
+                                    2.0, "fan_out", "normal"),
+                                name="convOutput2")(sb2)
+                if m.conv_deconv_out == 2:
+                    sb2_1 = ConvOut(self.labels, 3, name="convOutput")(sb2)
+                else:
+                    sb2_1 = 0.0
+                seg_branch2 = sb2_1 + sb2_2
+            else:
+                seg_branch2 = ConvOut(self.labels, 3, name="cdu11_out")(sb2)
+
+            if m.hanet:
+                from .hanet import HANetConv
+
+                seg_branch2, _ = HANetConv(
+                    out_channels=self.labels, pooling="max", pos_rfactor=2,
+                    dropout_prob=0.1, name="hanet_last",
+                )(a0, seg_branch2, pos, train=train)
+
+        out = {"seg1": seg_branch, "disp1": disp_out,
+               "seg2": seg_branch2, "disp2": disp_out}
+        if m.multaskloss:
+            lv_d = self.param("log_var_disp", nn.initializers.zeros, (1,))
+            lv_s1 = self.param("log_var_seg1", nn.initializers.zeros, (1,))
+            lv_s2 = self.param("log_var_seg2", nn.initializers.zeros, (1,))
+            out["mt"] = multitask_loss(
+                lv_d, lv_s1, lv_s2, disp_out, disp_gt,
+                seg_branch, seg_branch2, seg_labels,
+            )
+        return out
+
+
+class MiniDSNet(nn.Module):
+    """minidsnet (dsnet_t2.py:825-912): single seg + disp head, outputs
+    duplicated (outputType smallOutPair)."""
+
+    cfg: ModelConfig
+    labels: int = 2
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, input_a, input_b, train: bool = False, **_):
+        m = self.cfg
+        ax = self.axis_name
+        patch = (1, 17) if m.corr_type == "1dcorr" else (17, 17)
+        left = input_a[..., :3] if m.edges else input_a
+        right = input_b[..., :3] if m.edges else input_b
+        full_hw = (left.shape[1], left.shape[2])
+
+        pyr = PiramidNet2(backbone=m.backbone, axis_name=ax, name="features")
+        a = pyr(left, train)
+        b = pyr(right, train)
+        a4, b4 = a[4], b[4]
+        a_py2, b_py2 = a[5], b[5]
+
+        def ba(name):
+            return nn.relu(
+                ConvBN(1, 5, dilation=2, axis_name=ax, name=name)(input_a, train)
+            )
+
+        xleft2 = ba("conv2d_ba1")
+        xleft0 = ba("conv2d_ba0")
+
+        x = jnp.concatenate([a4, b4], axis=-1)
+        x, x1, seg_branch = SegNetHead(
+            self.labels, axis_name=ax, name="segNet"
+        )(x, full_hw, xleft0, train)
+
+        y = correlation(a_py2, b_py2, patch, normalize=(m.corr_type != "1dcorr"))
+        y = nn.relu(ConvBN(128, 1, batchnorm=False, axis_name=ax,
+                           name="corrConv2d")(y, train))
+        y1 = Conv2DownUp(128, 3, axis_name=ax, name="cdu3")(x1, train)
+        y1 = resize_bilinear(y1, (y.shape[1], y.shape[2]))
+        y = jnp.concatenate([y1, y], axis=-1)
+        y = Conv2DownUp(64, 3, axis_name=ax, name="cdu4")(y, train)
+
+        y2 = upsample_nearest(y, 8)
+        xl2 = resize_bilinear(xleft2, (y2.shape[1], y2.shape[2]))
+        disp = jnp.concatenate([y2, xl2], axis=-1)
+        disp = nn.relu(ConvBN(64, 1, batchnorm=False, axis_name=ax,
+                              name="conv1d_2")(disp, train))
+        disp = Conv2DownUp(64, 5, last_layer=False, axis_name=ax,
+                           name="cdu5")(disp, train)
+        disp = ConvOut(1, 5, name="dispoutConv")(disp)
+        disp_out = resize_bilinear(disp, full_hw)
+
+        return {"seg1": seg_branch, "disp1": disp_out,
+                "seg2": seg_branch, "disp2": disp_out}
+
+
+@MODELS.register("sdnet_mini_ext")
+def _make_ext(cfg: ModelConfig, labels: int, axis_name=None):
+    return MiniDSNetExt(cfg=cfg, labels=labels, axis_name=axis_name)
+
+
+@MODELS.register("sdnet_mini")
+def _make_mini(cfg: ModelConfig, labels: int, axis_name=None):
+    return MiniDSNet(cfg=cfg, labels=labels, axis_name=axis_name)
