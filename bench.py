@@ -1,0 +1,85 @@
+"""Throughput benchmark — stereo pairs/sec/chip at 512x960 (north star,
+BASELINE.md).
+
+Measures flagship (sdnet_mini_ext / MiniDSNetExt, densenet121, 1dcorr)
+inference throughput on the available accelerator and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "pairs/sec/chip", "vs_baseline": N}
+
+vs_baseline anchoring: the reference publishes no throughput (SURVEY.md §6)
+and this environment has no CUDA, so the torch reference can only be
+measured on CPU. We therefore report vs_baseline against a measured
+torch-reference-CPU number when available (cached in
+BASELINE_MEASURED.json), else 0.0. The honest GPU comparison will be
+documented separately once a reference GPU figure exists.
+"""
+import json
+import os
+import sys
+import time
+
+H, W, BATCH = 512, 960, 4
+WARMUP, ITERS = 2, 8
+
+
+def measure_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu import models
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.core import (
+        PMTConfig,
+    )
+
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext"
+    cfg.model.backbone = "densenet"
+    cfg.model.corr_type = "1dcorr"
+    model = models.get_network(cfg)
+
+    key = jax.random.PRNGKey(0)
+    left = jax.random.normal(key, (BATCH, H, W, 3), jnp.float32)
+    right = jax.random.normal(key, (BATCH, H, W, 3), jnp.float32)
+    variables = model.init({"params": key}, left[:1], right[:1], train=False)
+
+    @jax.jit
+    def fwd(left, right):
+        out = model.apply(variables, left, right, train=False)
+        return out["seg2"], out["disp1"]
+
+    # warmup / compile
+    for _ in range(WARMUP):
+        s, d = fwd(left, right)
+        jax.block_until_ready((s, d))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        s, d = fwd(left, right)
+    jax.block_until_ready((s, d))
+    dt = time.perf_counter() - t0
+    return BATCH * ITERS / dt
+
+
+def load_baseline() -> float:
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BASELINE_MEASURED.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return float(json.load(f).get("torch_cpu_pairs_per_sec", 0.0))
+    return 0.0
+
+
+def main():
+    value = measure_tpu()
+    base = load_baseline()
+    vs = value / base if base > 0 else 0.0
+    print(json.dumps({
+        "metric": "stereo_pairs_per_sec_per_chip_512x960",
+        "value": round(value, 3),
+        "unit": "pairs/sec/chip",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,9 @@ from .pyramid import PiramidNet2  # noqa: F401
 from .aspp import ASPP  # noqa: F401
 from . import sdnet  # noqa: F401
 from .sdnet import MiniDSNetExt, MiniDSNet, SegNetHead  # noqa: F401
+from . import psmnet  # noqa: F401
+from . import deeplab  # noqa: F401
+from . import warpnets  # noqa: F401
 
 
 def get_network(cfg: PMTConfig, axis_name=None):

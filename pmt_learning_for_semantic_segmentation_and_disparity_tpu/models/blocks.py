@@ -95,18 +95,30 @@ class DeconvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.stride != 1:
-            raise NotImplementedError("reference only uses stride-1 same deconvs")
         k = self.kernel if isinstance(self.kernel, tuple) else (self.kernel,) * 2
-        x = nn.Conv(
-            self.features,
-            k,
-            padding="SAME",
-            use_bias=not self.batchnorm,
-            kernel_init=he_fan_out,
-            dtype=self.dtype,
-            name="deconv",
-        )(x)
+        if self.stride == 1:
+            x = nn.Conv(
+                self.features,
+                k,
+                padding="SAME",
+                use_bias=not self.batchnorm,
+                kernel_init=he_fan_out,
+                dtype=self.dtype,
+                name="deconv",
+            )(x)
+        else:
+            # stride-2 'same' transposed conv (dsnet conv2DT_BA1/2,
+            # dsnet_t2.py:149-151): output = stride * input
+            x = nn.ConvTranspose(
+                self.features,
+                k,
+                strides=(self.stride, self.stride),
+                padding="SAME",
+                use_bias=not self.batchnorm,
+                kernel_init=he_fan_out,
+                dtype=self.dtype,
+                name="deconv",
+            )(x)
         if self.batchnorm:
             x = nn.BatchNorm(
                 use_running_average=not train,

@@ -20,3 +20,4 @@ from .edges import (  # noqa: F401
     sobel_edges,
     gauss2d_kernel,
 )
+from .costvolume import concat_cost_volume, soft_argmin  # noqa: F401

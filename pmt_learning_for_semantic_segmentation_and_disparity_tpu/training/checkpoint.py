@@ -1,0 +1,102 @@
+"""Checkpointing via orbax.
+
+Replaces the reference's pickled .pth.tar monoliths + by-name partial
+restore (save_checkpoint torch_implementation.py:52-66,
+utilTorch_loadweight.py:6-115) with an orbax CheckpointManager over the
+train-state pytree plus a JSON sidecar of config + metric histories.
+Best-checkpoint selection keys on head-2 val IoU like the reference
+(torch_implementation.py:915-934).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+        self.best_iou = -1.0
+
+    def save(self, step: int, state: TrainState,
+             extra: Optional[Dict[str, Any]] = None,
+             val_iou: Optional[float] = None):
+        payload = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        if extra is not None:
+            with open(os.path.join(self.directory, f"meta_{step}.json"), "w") as f:
+                json.dump(extra, f, default=_np_default)
+        if val_iou is not None and val_iou > self.best_iou:
+            self.best_iou = val_iou
+            with open(os.path.join(self.directory, "best.json"), "w") as f:
+                json.dump({"step": step, "iou": float(val_iou)}, f)
+        self._mgr.wait_until_finished()
+
+    def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
+        if step is None:
+            step = self._mgr.latest_step()
+            if step is None:
+                raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        target = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(target)
+        )
+        return state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+
+    def restore_params_partial(self, state: TrainState,
+                               step: Optional[int] = None) -> TrainState:
+        """By-name partial restore: load every leaf whose path exists and
+        whose shape matches; skip the rest — the jax equivalent of the
+        reference's head-remapping loader (utilTorch_loadweight.py:30-46)."""
+        if step is None:
+            step = self._mgr.latest_step()
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore())
+        flat_new, tree = jax.tree_util.tree_flatten_with_path(state.params)
+        flat_old = dict(
+            jax.tree_util.tree_flatten_with_path(restored["params"])[0]
+        ) if "params" in restored else {}
+        out = []
+        for path, leaf in flat_new:
+            old = flat_old.get(path)
+            if old is not None and np.shape(old) == np.shape(leaf):
+                out.append(old)
+            else:
+                out.append(leaf)
+        return state.replace(
+            params=jax.tree_util.tree_unflatten(tree, out)
+        )
+
+
+def _np_default(o):
+    if isinstance(o, (np.ndarray, np.generic)):
+        return o.tolist()
+    raise TypeError(type(o))

@@ -1,0 +1,172 @@
+"""Session orchestrator — the runNetwork equivalent
+(torch_implementation.py:621-964), SPMD edition.
+
+One process drives the whole mesh: build mesh -> datasets -> model ->
+optimizer -> restore -> epochs of sharded train steps with periodic eval +
+checkpointing. No process groups, samplers or barriers survive the
+translation (SURVEY.md §2.5).
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..core.config import PMTConfig
+from ..data.datasets import build_datasets, normalization_for
+from ..data.pipeline import DataLoader, prefetch_to_mesh
+from ..metrics.segmetrics import mean_iou, pixel_accuracy
+from ..models import get_network
+from ..parallel.mesh import DATA_AXIS, make_mesh, replicate
+from .checkpoint import CheckpointManager
+from .optim import build_optimizer
+from .state import TrainState
+from .step import make_eval_step, make_train_step
+
+
+class Session:
+    def __init__(self, cfg: PMTConfig, mesh=None, use_mesh: bool = True):
+        cfg.validate()
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else (
+            make_mesh() if use_mesh else None
+        )
+        axis = DATA_AXIS if (
+            self.mesh is not None and cfg.parallel.sync_batchnorm
+        ) else None
+        self.model = get_network(cfg, axis_name=axis)
+        self.tx = None
+        self.state = None
+        self._train_step = None
+        self._eval_step = None
+
+    # -- init ---------------------------------------------------------------
+    def init_state(self, sample_batch: Dict[str, np.ndarray],
+                   steps_per_epoch: int = 1) -> TrainState:
+        cfg = self.cfg
+        import jax.numpy as jnp
+
+        left = jnp.asarray(sample_batch["left"][:1])
+        kwargs = {}
+        if cfg.model.output_type == "multitask":
+            kwargs = dict(
+                disp_gt=jnp.asarray(sample_batch["disp"][:1]),
+                seg_labels=jnp.argmax(jnp.asarray(sample_batch["seg"][:1]), -1),
+            )
+        if cfg.model.edges:
+            left = jnp.concatenate(
+                [left, jnp.asarray(sample_batch["edges"][:1])], axis=-1
+            )
+        variables = self.model.init(
+            {"params": jax.random.PRNGKey(cfg.run.seed), "dropout": jax.random.PRNGKey(1)},
+            left, left, train=False, **kwargs,
+        )
+        self.tx = build_optimizer(
+            cfg.optim, cfg.model.net, len(cfg.loss.losses), steps_per_epoch
+        )
+        state = TrainState.create(
+            self.model.apply, variables["params"],
+            variables.get("batch_stats", {}), self.tx,
+        )
+        if self.mesh is not None:
+            state = replicate(self.mesh, state)
+        self.state = state
+        self._train_step = make_train_step(cfg, self.model, self.mesh)
+        self._eval_step = make_eval_step(cfg, self.model, self.mesh)
+        return state
+
+    # -- epochs ------------------------------------------------------------
+    def train_epoch(self, loader: DataLoader, epoch: int, log=print):
+        cfg = self.cfg
+        loader.set_epoch(epoch)
+        rng = jax.random.PRNGKey(cfg.run.seed * 131071 + epoch)
+        t0 = time.time()
+        last = {}
+        it = (
+            prefetch_to_mesh(loader, self.mesh)
+            if self.mesh is not None
+            else ((b, b.pop("meta", None)) for b in map(dict, loader))
+        )
+        for i, (batch, _) in enumerate(it):
+            rng, sub = jax.random.split(rng)
+            self.state, metrics = self._train_step(self.state, batch, sub)
+            last = metrics
+            if i % cfg.run.log_every == 0:
+                loss = float(metrics["loss"])
+                log(
+                    f"[{epoch + 1}, {i + 1:5d} / {len(loader)}] "
+                    f"loss: {loss:.3f} "
+                    f"PixelAcc: {float(metrics['pixel_acc2']):.3f} "
+                    f"({time.time() - t0:.1f}s)"
+                )
+        return {k: np.asarray(v) for k, v in last.items()}
+
+    def evaluate(self, loader: DataLoader, log=print) -> Dict[str, float]:
+        conf1 = conf2 = None
+        sums: Dict[str, float] = {}
+        n = 0
+        rng = jax.random.PRNGKey(0)
+        it = (
+            prefetch_to_mesh(loader, self.mesh)
+            if self.mesh is not None
+            else ((b, b.pop("meta", None)) for b in map(dict, loader))
+        )
+        for batch, _ in it:
+            _, m = self._eval_step(
+                self.state.params, self.state.batch_stats, batch, rng
+            )
+            c1 = np.asarray(m.pop("conf1"))
+            c2 = np.asarray(m.pop("conf2"))
+            conf1 = c1 if conf1 is None else conf1 + c1
+            conf2 = c2 if conf2 is None else conf2 + c2
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        out = {k: v / max(n, 1) for k, v in sums.items()}
+        if conf2 is not None:
+            miou2, iou2 = mean_iou(conf2)
+            miou1, _ = mean_iou(conf1)
+            out["miou1"] = miou1
+            out["miou2"] = miou2
+            out["pixel_acc_cm2"] = pixel_accuracy(conf2)
+        log(
+            "eval: " + " ".join(f"{k}={v:.4f}" for k, v in sorted(out.items())
+                                 if isinstance(v, float))
+        )
+        return out
+
+    # -- full run ------------------------------------------------------------
+    def fit(self, log=print):
+        cfg = self.cfg
+        norm = normalization_for(cfg.model.backbone, cfg.model.net)
+        trainset, testset = build_datasets(
+            cfg.data, cfg.model.output_activation, cfg.model.max_disp, norm,
+            train=cfg.run.train,
+        )
+        train_loader = DataLoader(
+            trainset, cfg.run.batch, shuffle=True,
+            num_workers=cfg.data.num_workers, seed=cfg.run.seed,
+        )
+        test_loader = DataLoader(
+            testset, min(cfg.run.batch, max(1, len(testset))), shuffle=False,
+            num_workers=cfg.data.num_workers, drop_last=False,
+            bucket_hw=cfg.data.eval_shape,
+        )
+        first = next(iter(train_loader))
+        self.init_state(first, steps_per_epoch=len(train_loader))
+        ckpt = CheckpointManager(f"{cfg.run.save_path}/{cfg.model_id()}")
+        history = []
+        for epoch in range(cfg.run.epochs):
+            self.train_epoch(train_loader, epoch, log=log)
+            if (epoch + 1) % cfg.run.eval_every == 0 or epoch == cfg.run.epochs - 1:
+                ev = self.evaluate(test_loader, log=log)
+                history.append(ev)
+                ckpt.save(
+                    epoch, self.state,
+                    extra={"epoch": epoch, "eval": ev,
+                           "config": cfg.to_json()},
+                    val_iou=ev.get("miou2", -1.0),
+                )
+        return history

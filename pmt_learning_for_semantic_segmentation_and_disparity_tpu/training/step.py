@@ -1,0 +1,211 @@
+"""SPMD train/eval step functions.
+
+TPU-native replacement for the reference's per-batch host loop
+(networkOutput, torch_implementation.py:235-330 + train_model :333-401):
+one jitted step containing forward, the full configured loss stack,
+backward, the gradient all-reduce, optimizer update AND on-device metrics —
+zero host synchronization per step.
+
+Data parallelism: the step is wrapped in ``shard_map`` over the mesh's
+``data`` axis. The batch arrives sharded on dim 0; gradients and metric
+sums are reduced with ``lax.pmean``/``psum`` over ICI — the SPMD equivalent
+of DDP's NCCL allreduce (torch_implementation.py:741). Cross-replica
+BatchNorm falls out of passing ``axis_name='data'`` to the model's BN
+layers (replaces sync_batchnorm/ entirely).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..core.config import PMTConfig
+from ..losses.dispatch import compose_disp_loss, compose_seg_loss
+from ..losses.disp import photo_consistency
+from ..losses.edge import balanced_edge_bce
+from ..metrics.dispmetrics import disp_metrics
+from ..metrics.segmetrics import seg_batch_metrics
+from ..parallel.mesh import DATA_AXIS
+from .state import TrainState
+
+# outputTypes whose head-2 metrics/losses just mirror head 1
+_SINGLE_HEAD = ("smallOutPair", "deeplab", "edgeOut", "pspnet")
+
+
+def _model_inputs(cfg: PMTConfig, batch: Dict[str, jnp.ndarray]):
+    """Assemble model inputs per outputType (netForward,
+    torch_implementation.py:118-152)."""
+    left = batch["left"]
+    right = batch["right"]
+    kwargs: Dict[str, Any] = {}
+    if cfg.model.edges:
+        left = jnp.concatenate([left, batch["edges"]], axis=-1)
+        right = jnp.concatenate([right, batch["edges"]], axis=-1)
+    ot = cfg.model.output_type
+    if ot == "multitask":
+        kwargs["disp_gt"] = batch["disp"]
+        kwargs["seg_labels"] = jnp.argmax(batch["seg"], axis=-1)
+    if ot == "ThreeOutPutsDisp":
+        kwargs["disp_gt"] = batch["disp"]
+    return left, right, kwargs
+
+
+def make_loss_fn(cfg: PMTConfig, model):
+    """Returns loss_fn(params, batch_stats, batch, rng, train) ->
+    (loss, (new_batch_stats, outputs, logs))."""
+    d = cfg.data
+    ot = cfg.model.output_type
+    head1_loss = compose_seg_loss(["cross_entropy"], d.dataset_name, d.n_labels,
+                                  cfg.loss.seg_weight)
+    head2_loss = compose_seg_loss(cfg.loss.losses, d.dataset_name, d.n_labels,
+                                  cfg.loss.seg_weight)
+    dsp_loss = compose_disp_loss(cfg.loss.losses, d.dataset_name, ot)
+
+    def loss_fn(params, batch_stats, batch, rng, train: bool = True):
+        left, right, kwargs = _model_inputs(cfg, batch)
+        variables = {"params": params, "batch_stats": batch_stats}
+        rngs = {"dropout": rng}
+        if train:
+            out, mut = model.apply(
+                variables, left, right, train=True,
+                mutable=["batch_stats"], rngs=rngs, **kwargs,
+            )
+            new_stats = mut["batch_stats"]
+        else:
+            out = model.apply(variables, left, right, train=False,
+                              rngs=rngs, **kwargs)
+            new_stats = batch_stats
+        seg_full = batch["seg"]
+        disp_gt = batch["disp"]
+        logs: Dict[str, jnp.ndarray] = {}
+
+        if ot == "multitask":
+            mt_d, mt_s1, mt_s2 = out["mt"]
+            loss_seg = jnp.mean(mt_s1) + jnp.mean(mt_s2)
+            loss_disp = jnp.mean(mt_d)
+        else:
+            key1, key2 = jax.random.split(rng)
+            l1 = head1_loss(out["seg1"], seg_full, key1)
+            loss_seg = l1
+            if ot not in _SINGLE_HEAD:
+                l2 = head2_loss(out["seg2"], seg_full, key2)
+                loss_seg = loss_seg + l2
+            if ot in ("ThreeOutPuts", "ThreeOutPutsDisp",
+                      "ThreeOutPutsDispConsist") and out.get("seg3") is not None:
+                loss_seg = loss_seg + head1_loss(out["seg3"], seg_full, key2)
+            loss_disp = dsp_loss(batch["left"], seg_full, disp_gt, out["disp1"])
+            if ot in ("smallOutWarp", "ThreeOutPutsDispConsist"):
+                # L1 zeroed, photo-consistency instead
+                # (torch_implementation.py:314-317)
+                loss_disp = loss_disp * 0.0 + photo_consistency(
+                    out["warped_right"], batch["left"]
+                )
+
+        loss = loss_seg + loss_disp
+        if ot == "edgeOut" and out.get("edge") is not None:
+            loss = loss + balanced_edge_bce(out["edge"], batch["edges"])
+        logs["loss"] = loss
+        logs["loss_seg"] = loss_seg
+        logs["loss_disp"] = loss_disp
+        return loss, (new_stats, out, logs)
+
+    return loss_fn
+
+
+def compute_metrics(cfg: PMTConfig, out, batch) -> Dict[str, jnp.ndarray]:
+    """On-device metric pack for both heads + disparity (replaces the
+    numpy/sklearn round trips in multiLosses.py:119-154)."""
+    n = cfg.data.n_labels
+    m1 = seg_batch_metrics(out["seg1"], batch["seg"], n)
+    m2 = seg_batch_metrics(out["seg2"], batch["seg"], n)
+    use_mask = cfg.data.dataset_name not in ("garden", "roses")
+    dm = disp_metrics(out["disp1"], batch["disp"], batch["seg"],
+                      cfg.model.max_disp, mask_invalid=use_mask)
+    return {
+        "pixel_acc1": m1.pixel_acc, "pixel_acc2": m2.pixel_acc,
+        "conf1": m1.confusion, "conf2": m2.confusion,
+        "prec2": m2.precision, "recall2": m2.recall,
+        "f1_2": m2.f1, "bf1_2": m2.branch_f1,
+        "disp_err3px": dm.err_gt3px, "disp_valid": dm.valid_px,
+        "disp_rmse": dm.rmse, "disp_sqrel": dm.sq_rel,
+        "disp_brmse": dm.branch_rmse, "disp_bsqrel": dm.branch_sq_rel,
+    }
+
+
+_SUM_METRICS = ("conf1", "conf2", "disp_err3px", "disp_valid")
+
+
+def make_train_step(cfg: PMTConfig, model, mesh: Optional[Mesh] = None):
+    """Build the jitted SPMD train step.
+
+    With a mesh: shard_map over ('data',) — batch sharded, state replicated,
+    grads pmean'd. Without: plain jit (single device)."""
+    loss_fn = make_loss_fn(cfg, model)
+
+    def _step(state: TrainState, batch, rng):
+        if mesh is not None:
+            # per-shard dropout/augment streams
+            rng = jax.random.fold_in(rng, lax.axis_index(DATA_AXIS))
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (new_stats, out, logs)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng, True
+        )
+        metrics = compute_metrics(cfg, out, batch)
+        metrics.update(logs)
+        if mesh is not None:
+            grads = lax.pmean(grads, DATA_AXIS)
+            new_stats = lax.pmean(new_stats, DATA_AXIS)
+            metrics = {
+                k: (lax.psum(v, DATA_AXIS) if k in _SUM_METRICS
+                    else lax.pmean(v, DATA_AXIS))
+                for k, v in metrics.items()
+            }
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=new_stats)
+        return state, metrics
+
+    if mesh is None:
+        return jax.jit(_step, donate_argnums=(0,))
+
+    state_spec = P()  # replicated
+    step = shard_map(
+        _step,
+        mesh=mesh,
+        in_specs=(state_spec, P(DATA_AXIS), state_spec),
+        out_specs=(state_spec, state_spec),
+        check_rep=False,
+    )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: PMTConfig, model, mesh: Optional[Mesh] = None):
+    loss_fn = make_loss_fn(cfg, model)
+
+    def _step(params, batch_stats, batch, rng):
+        loss, (_, out, logs) = loss_fn(params, batch_stats, batch, rng, False)
+        metrics = compute_metrics(cfg, out, batch)
+        metrics.update(logs)
+        if mesh is not None:
+            metrics = {
+                k: (lax.psum(v, DATA_AXIS) if k in _SUM_METRICS
+                    else lax.pmean(v, DATA_AXIS))
+                for k, v in metrics.items()
+            }
+        return out, metrics
+
+    if mesh is None:
+        return jax.jit(_step)
+
+    step = shard_map(
+        _step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P()),
+        out_specs=(P(DATA_AXIS), P()),
+        check_rep=False,
+    )
+    return jax.jit(step)
