@@ -43,6 +43,17 @@ def measure_tpu() -> float:
     right = jax.random.normal(key, (BATCH, H, W, 3), jnp.float32)
     variables = model.init({"params": key}, left[:1], right[:1], train=False)
 
+    if os.environ.get("PMT_BENCH_DTYPE", "bf16") == "bf16":
+        # bf16 inference: params + activations in bfloat16 (MXU native);
+        # module dtypes are inferred so the whole graph stays bf16.
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, t
+        )
+        variables = cast(variables)
+        left = left.astype(jnp.bfloat16)
+        right = right.astype(jnp.bfloat16)
+
     @jax.jit
     def fwd(left, right):
         out = model.apply(variables, left, right, train=False)

@@ -1,0 +1,56 @@
+"""CLI entry point — flag-compatible with the reference
+(torch_implementation.py main, README.md:25):
+
+    python -m pmt_learning_for_semantic_segmentation_and_disparity_tpu.cli.train \
+        -colorL train_colorL.txt -colorR train_colorR.txt \
+        -seg seg.txt -disp disp.txt -inst inst.txt \
+        -net sdnet_mini_ext -backbone densenet -corrType 1dcorr \
+        -crop 256 512 -b 8 -e 100 -loss cross_entropy lovasz_loss \
+        -output_activation linear -datasetName roses -train 1
+
+One process drives the whole TPU mesh (no mp.spawn / NCCL).
+"""
+from __future__ import annotations
+
+import sys
+
+from ..core.config import config_from_args
+from ..training.loop import Session
+
+
+def main(argv=None):
+    cfg = config_from_args(argv)
+    print(f"model id: {cfg.model_id()}")
+    session = Session(cfg)
+    if cfg.run.train:
+        history = session.fit()
+        if history:
+            print("final eval:", history[-1])
+    else:
+        import numpy as np
+
+        from ..data.datasets import build_datasets, normalization_for
+        from ..data.pipeline import DataLoader
+
+        norm = normalization_for(cfg.model.backbone, cfg.model.net)
+        _, testset = build_datasets(
+            cfg.data, cfg.model.output_activation, cfg.model.max_disp, norm,
+            train=False,
+        )
+        loader = DataLoader(
+            testset, 1, shuffle=False, drop_last=False,
+            bucket_hw=cfg.data.eval_shape,
+        )
+        first = next(iter(loader))
+        session.init_state(first)
+        if cfg.run.load_weights:
+            from ..training.checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(cfg.run.load_weights)
+            session.state = mgr.restore(session.state)
+        metrics = session.evaluate(loader)
+        print(metrics)
+
+
+if __name__ == "__main__":
+    main()

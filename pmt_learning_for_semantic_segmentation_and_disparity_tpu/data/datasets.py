@@ -83,7 +83,13 @@ class StereoSegDataset:
         left = io.read_rgb(self.x_files[idx][0])
         right = io.read_rgb(self.x_files[idx][1])
         disp_path, seg_path, inst_path = self.y_files[idx]
-        seg_raw = np.asarray(io.read_image(seg_path))
+        # seg is read RGB like the reference's PIL load
+        # (utilTorchDataLoader.py:150-151); roses thresholds the BLUE channel
+        # (index 2 in RGB order, :204-205)
+        if self.dataset_name in ("garden", "roses"):
+            seg_raw = io.read_rgb(seg_path)
+        else:
+            seg_raw = np.asarray(io.read_image(seg_path))
         inst = np.asarray(io.read_image(inst_path))
         if inst.ndim == 3:
             inst = inst[..., 0]
@@ -103,7 +109,8 @@ class StereoSegDataset:
                     seg_raw = np.stack([seg_raw] * 3, -1)
                 seg = roses_one_hot(seg_raw, self.n_labels)
             else:
-                seg = garden_one_hot(seg_raw, self.n_labels)
+                ids = seg_raw[..., 0] if seg_raw.ndim == 3 else seg_raw
+                seg = garden_one_hot(ids, self.n_labels)
         else:  # kitti / cityscapes
             raw = io.read_image(disp_path)
             if raw.ndim == 3:

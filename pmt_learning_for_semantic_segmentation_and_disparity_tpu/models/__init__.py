@@ -22,6 +22,10 @@ from .sdnet import MiniDSNetExt, MiniDSNet, SegNetHead  # noqa: F401
 from . import psmnet  # noqa: F401
 from . import deeplab  # noqa: F401
 from . import warpnets  # noqa: F401
+from . import sdnet_legacy  # noqa: F401
+from . import ext_small  # noqa: F401
+from . import sdnet_dlab  # noqa: F401
+from . import hanet  # noqa: F401
 
 
 def get_network(cfg: PMTConfig, axis_name=None):

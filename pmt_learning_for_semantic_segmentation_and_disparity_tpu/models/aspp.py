@@ -30,7 +30,7 @@ class ASPP(nn.Module):
         def bn(name):
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                axis_name=self.axis_name, dtype=jnp.float32, name=name,
+                axis_name=self.axis_name, dtype=None, name=name,
             )
 
         def branch(inp, k, d, name):

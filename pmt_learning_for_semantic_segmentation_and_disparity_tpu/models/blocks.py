@@ -48,7 +48,7 @@ class ConvBN(nn.Module):
     dropout: float = 0.0
     padding: str = "SAME"
     axis_name: Optional[str] = None
-    dtype: Dtype = jnp.float32
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -70,7 +70,7 @@ class ConvBN(nn.Module):
                 momentum=0.9,
                 epsilon=1e-5,
                 axis_name=self.axis_name,
-                dtype=jnp.float32,
+                dtype=None,
                 name="bn",
             )(x)
         if self.relu:
@@ -91,7 +91,7 @@ class DeconvBN(nn.Module):
     relu: bool = False
     dropout: float = 0.0
     axis_name: Optional[str] = None
-    dtype: Dtype = jnp.float32
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -125,7 +125,7 @@ class DeconvBN(nn.Module):
                 momentum=0.9,
                 epsilon=1e-5,
                 axis_name=self.axis_name,
-                dtype=jnp.float32,
+                dtype=None,
                 name="bn",
             )(x)
         if self.relu:
@@ -142,7 +142,7 @@ class ConvOut(nn.Module):
 
     features: int
     kernel: int = 3
-    dtype: Dtype = jnp.float32
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x):
@@ -165,7 +165,7 @@ class Conv2DownUp(nn.Module):
     last_layer: bool = True
     dropout: float = 0.0
     axis_name: Optional[str] = None
-    dtype: Dtype = jnp.float32
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):

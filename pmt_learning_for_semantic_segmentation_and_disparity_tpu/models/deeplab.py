@@ -31,7 +31,7 @@ from .blocks import he_fan_out
 def _bn(train, axis_name, name, eps=1e-5):
     return nn.BatchNorm(
         use_running_average=not train, momentum=0.9, epsilon=eps,
-        axis_name=axis_name, dtype=jnp.float32, name=name,
+        axis_name=axis_name, dtype=None, name=name,
     )
 
 

@@ -42,7 +42,7 @@ class _DenseLayer(nn.Module):
         def bn(name):
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                axis_name=self.axis_name, dtype=jnp.float32, name=name,
+                axis_name=self.axis_name, dtype=None, name=name,
             )
 
         y = nn.relu(bn("norm1")(x))
@@ -81,7 +81,7 @@ class _Transition(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            axis_name=self.axis_name, dtype=jnp.float32, name="norm",
+            axis_name=self.axis_name, dtype=None, name="norm",
         )(x)
         x = nn.relu(x)
         return nn.Conv(
@@ -109,7 +109,7 @@ class DenseNetFeatures(nn.Module):
         taps.append(x)  # /2, pre-BN (densenet.py:223-224)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            axis_name=self.axis_name, dtype=jnp.float32, name="norm0",
+            axis_name=self.axis_name, dtype=None, name="norm0",
         )(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)  # /4
@@ -130,7 +130,7 @@ class DenseNetFeatures(nn.Module):
                 x = avg_pool(x, 2, 2)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            axis_name=self.axis_name, dtype=jnp.float32, name="norm5",
+            axis_name=self.axis_name, dtype=None, name="norm5",
         )(x)
         taps.append(nn.relu(x))
         return taps

@@ -61,7 +61,7 @@ class InvertedResidual(nn.Module):
         def bn(name):
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                axis_name=self.axis_name, dtype=jnp.float32, name=name,
+                axis_name=self.axis_name, dtype=None, name=name,
             )
 
         act = h_swish if self.use_hs else nn.relu
@@ -133,7 +133,7 @@ class MobileNetV3LargeFeatures(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            axis_name=self.axis_name, dtype=jnp.float32, name="stem_bn",
+            axis_name=self.axis_name, dtype=None, name="stem_bn",
         )(x)
         x = h_swish(x)
         inp = 16

@@ -30,7 +30,7 @@ from .blocks import he_fan_out
 def _bn(train, axis_name, name):
     return nn.BatchNorm(
         use_running_average=not train, momentum=0.9, epsilon=1e-5,
-        axis_name=axis_name, dtype=jnp.float32, name=name,
+        axis_name=axis_name, dtype=None, name=name,
     )
 
 

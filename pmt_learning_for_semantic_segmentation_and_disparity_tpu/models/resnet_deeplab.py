@@ -30,7 +30,7 @@ class Bottleneck(nn.Module):
         def bn(name):
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                axis_name=self.axis_name, dtype=jnp.float32, name=name,
+                axis_name=self.axis_name, dtype=None, name=name,
             )
 
         residual = x
@@ -76,7 +76,7 @@ class ResNetDeeplabFeatures(nn.Module):
                     use_bias=False, kernel_init=he_fan_out, name="conv1")(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            axis_name=self.axis_name, dtype=jnp.float32, name="bn1",
+            axis_name=self.axis_name, dtype=None, name="bn1",
         )(x)
         x = nn.relu(x)
         taps.append(x)

@@ -81,6 +81,11 @@ class MiniDSNetExt(nn.Module):
     cfg: ModelConfig
     labels: int = 2
     axis_name: Optional[str] = None
+    # "ext" (minidsnetExt) | "v2" (minidsnetExt2: single self-gate,
+    # dsnet_t2.py:1888-1891) | "piramid" (ExtPiramid: cross gates + pyramid
+    # final skip, :1547-1559) | "piramid_res" (ExtPiramidRes: residual corr
+    # + additive gate fusion + extra output conv, :2340-2392)
+    variant: str = "ext"
 
     @nn.compact
     def __call__(
@@ -153,16 +158,26 @@ class MiniDSNetExt(nn.Module):
         y = correlation(
             a_py2, b_py2, patch, normalize=(m.corr_type != "1dcorr")
         )
-        y = nn.relu(ConvBN(128, 1, batchnorm=False, axis_name=ax,
-                           name="corrConv2d")(y, train))
-        if "no_dec1" in ablation:
-            y1 = Conv2DownUp(128, 3, dropout=dropout, axis_name=ax,
-                             name="cdu3")(a_py2, train)
-        else:
-            y1 = Conv2DownUp(128, 3, dropout=dropout, axis_name=ax,
+        if self.variant == "piramid_res":
+            # residual corr fusion (dsnet_t2.py:2340-2345)
+            y = nn.relu(ConvBN(a_py2.shape[-1], 1, batchnorm=False,
+                               axis_name=ax, name="corrConv2d")(y, train))
+            y = a_py2 + y
+            y1 = Conv2DownUp(a_py2.shape[-1], 3, dropout=dropout, axis_name=ax,
                              name="cdu3")(x1, train)
-        y1 = resize_bilinear(y1, (y.shape[1], y.shape[2]))
-        y = jnp.concatenate([y1, y], axis=-1)
+            y1 = resize_bilinear(y1, (y.shape[1], y.shape[2]))
+            y = y + y1
+        else:
+            y = nn.relu(ConvBN(128, 1, batchnorm=False, axis_name=ax,
+                               name="corrConv2d")(y, train))
+            if "no_dec1" in ablation:
+                y1 = Conv2DownUp(128, 3, dropout=dropout, axis_name=ax,
+                                 name="cdu3")(a_py2, train)
+            else:
+                y1 = Conv2DownUp(128, 3, dropout=dropout, axis_name=ax,
+                                 name="cdu3")(x1, train)
+            y1 = resize_bilinear(y1, (y.shape[1], y.shape[2]))
+            y = jnp.concatenate([y1, y], axis=-1)
         y = Conv2DownUp(64, 3, dropout=dropout, axis_name=ax, name="cdu4")(y, train)
 
         # disparity head
@@ -202,7 +217,39 @@ class MiniDSNetExt(nn.Module):
         y3 = resize_nearest(y, (s2.shape[1], s2.shape[2]))
 
         if "no_dec3" not in ablation:
-            if m.use_att:
+            if self.variant == "v2":
+                # single self-gate (dsnet_t2.py:1861-1866)
+                s2_d = jnp.concatenate([s2, y3], axis=-1)
+                s2_d = Conv2DownUp(64, 3, dropout=dropout, axis_name=ax,
+                                   name="cdu7")(s2_d, train)
+                x3 = Conv2DownUp(64, 3, dropout=dropout, axis_name=ax,
+                                 name="cdu8")(x1, train)
+                x3 = resize_nearest(x3, (s2.shape[1], s2.shape[2]))
+                s2_s = jnp.concatenate([s2, x3], axis=-1)
+                s2_s = Conv2DownUp(64, 3, dropout=dropout, axis_name=ax,
+                                   name="cdu9")(s2_s, train)
+                s2_at = nn.sigmoid(ConvBN(1, 1, batchnorm=False, axis_name=ax,
+                                          name="conv1d_at")(s2, train))
+                s2 = jnp.concatenate(
+                    [s2_d * s2_at, s2_s * (1.0 - s2_at)], axis=-1
+                )
+            elif self.variant == "piramid_res":
+                # additive gate fusion (dsnet_t2.py:2375-2377)
+                s2_d = jnp.concatenate([s2, y3], axis=-1)
+                s2_d = Conv2DownUp(64, 3, dropout=dropout, axis_name=ax,
+                                   name="cdu7")(s2_d, train)
+                at_d = nn.sigmoid(ConvBN(1, 1, batchnorm=False, axis_name=ax,
+                                         name="conv1d_at_d")(s2_d, train))
+                x3 = Conv2DownUp(64, 3, dropout=dropout, axis_name=ax,
+                                 name="cdu8")(x1, train)
+                x3 = resize_nearest(x3, (s2.shape[1], s2.shape[2]))
+                s2_s = jnp.concatenate([s2, x3], axis=-1)
+                s2_s = Conv2DownUp(64, 3, dropout=dropout, axis_name=ax,
+                                   name="cdu9")(s2_s, train)
+                at_s = nn.sigmoid(ConvBN(1, 1, batchnorm=False, axis_name=ax,
+                                         name="conv1d_at_s")(s2_s, train))
+                s2 = s2 + (x3 * at_s + y3 * at_d)
+            elif m.use_att:
                 s2_d = jnp.concatenate([s2, y3], axis=-1)
                 s2_d = Conv2DownUp(64, 3, dropout=dropout, axis_name=ax,
                                    name="cdu7")(s2_d, train)
@@ -240,8 +287,14 @@ class MiniDSNetExt(nn.Module):
             sb2 = ConvOut(self.labels, 3, name="cdu11_out")(sb2)
             seg_branch2 = resize_nearest(sb2, full_hw)
         else:
-            s2 = resize_nearest(s2, (xleft1.shape[1], xleft1.shape[2]))
-            s2 = jnp.concatenate([s2, xleft1], axis=-1)
+            if self.variant in ("piramid", "piramid_res"):
+                # pyramid-enriched /2 map as the final skip
+                # (dsnet_t2.py:1557-1559, 2386-2388)
+                fskip = a_py0
+            else:
+                fskip = xleft1
+            s2 = resize_nearest(s2, (fskip.shape[1], fskip.shape[2]))
+            s2 = jnp.concatenate([s2, fskip], axis=-1)
             sb2 = nn.relu(ConvBN(32, 1, batchnorm=False, axis_name=ax,
                                  name="conv1d_5")(s2, train))
             sb2 = Conv2DownUp(32, 3, last_layer=False,
@@ -260,6 +313,10 @@ class MiniDSNetExt(nn.Module):
                 seg_branch2 = sb2_1 + sb2_2
             else:
                 seg_branch2 = ConvOut(self.labels, 3, name="cdu11_out")(sb2)
+            if self.variant in ("piramid", "piramid_res"):
+                # these variants resize the head output back to full res
+                # with nearest (dsnet_t2.py:1562, 2392)
+                seg_branch2 = resize_nearest(seg_branch2, full_hw)
 
             if m.hanet:
                 from .hanet import HANetConv
@@ -343,6 +400,24 @@ class MiniDSNet(nn.Module):
 @MODELS.register("sdnet_mini_ext")
 def _make_ext(cfg: ModelConfig, labels: int, axis_name=None):
     return MiniDSNetExt(cfg=cfg, labels=labels, axis_name=axis_name)
+
+
+@MODELS.register("sdnet_mini_ext_v2")
+def _make_ext_v2(cfg: ModelConfig, labels: int, axis_name=None):
+    return MiniDSNetExt(cfg=cfg, labels=labels, axis_name=axis_name,
+                        variant="v2")
+
+
+@MODELS.register("sdnet_mini_ext_piramid")
+def _make_ext_piramid(cfg: ModelConfig, labels: int, axis_name=None):
+    return MiniDSNetExt(cfg=cfg, labels=labels, axis_name=axis_name,
+                        variant="piramid")
+
+
+@MODELS.register("sdnet_mini_ext_piramid_res")
+def _make_ext_piramid_res(cfg: ModelConfig, labels: int, axis_name=None):
+    return MiniDSNetExt(cfg=cfg, labels=labels, axis_name=axis_name,
+                        variant="piramid_res")
 
 
 @MODELS.register("sdnet_mini")

@@ -1,0 +1,125 @@
+"""Shape tests: legacy dsnet/dsnetv2, ext_small family, ext variants,
+ext_dlab, hanet. Completes the 17-net FUNCTION_MAP coverage
+(util/utilLoadNetwork.py:8-26)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmt_learning_for_semantic_segmentation_and_disparity_tpu.core import PMTConfig
+from pmt_learning_for_semantic_segmentation_and_disparity_tpu import models
+
+
+def _run(cfg, h=64, w=64, **kwargs):
+    model = models.get_network(cfg)
+    left = jnp.zeros((1, h, w, 3), jnp.float32)
+    right = jnp.zeros((1, h, w, 3), jnp.float32)
+    vs = model.init({"params": jax.random.PRNGKey(0)}, left, right,
+                    train=False, **kwargs)
+    return model.apply(vs, left, right, train=False, **kwargs)
+
+
+def test_all_17_nets_registered():
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.core.config import (
+        VALID_NETS,
+    )
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.core.registry import (
+        MODELS,
+    )
+
+    missing = [n for n in VALID_NETS if n not in MODELS]
+    assert not missing, f"unregistered nets: {missing}"
+
+
+def test_dsnet_legacy():
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet"
+    out = _run(cfg, 64, 64)
+    assert out["seg1"].shape == (1, 64, 64, 2)
+    assert out["disp2"].shape == (1, 64, 64, 1)
+
+
+def test_dsnetv2():
+    cfg = PMTConfig()
+    cfg.model.net = "sdnetv2"
+    cfg.model.corr_type = "1dcorr"
+    out = _run(cfg, 64, 64)
+    assert out["seg2"].shape == (1, 64, 64, 2)
+
+
+def test_ext_small_v0():
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext_small"
+    out = _run(cfg, 64, 64)
+    assert out["seg1"].shape == (1, 64, 64, 2)
+    assert out["disp1"].shape == (1, 64, 64, 1)
+
+
+def test_ext_small_edge():
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext_small_edge"
+    out = _run(cfg, 64, 64, left_e=jnp.zeros((1, 64, 64, 1)))
+    assert out["edge"].shape == (1, 64, 64, 2)
+    assert out["seg1"].shape == (1, 64, 64, 2)
+
+
+def test_ext_small_v2():
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext_small_edgev2"
+    out = _run(cfg, 64, 64, left_e=jnp.zeros((1, 64, 64, 1)))
+    assert out["seg2"].shape == (1, 64, 64, 2)
+
+
+@pytest.mark.parametrize(
+    "net", ["sdnet_mini_ext_v2", "sdnet_mini_ext_piramid",
+            "sdnet_mini_ext_piramid_res"]
+)
+def test_ext_variants(net):
+    cfg = PMTConfig()
+    cfg.model.net = net
+    out = _run(cfg, 32, 64)
+    assert out["seg2"].shape == (1, 32, 64, 2)
+    assert out["disp1"].shape == (1, 32, 64, 1)
+
+
+def test_ext_dlab():
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext_dlab"
+    out = _run(cfg, 32, 64)
+    assert out["seg2"].shape == (1, 32, 64, 2)
+
+
+def test_hanet_attention():
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.models.hanet import (
+        HANetConv,
+        adaptive_pool_rows,
+        sinusoid_table,
+    )
+
+    x = jnp.ones((1, 32, 64, 64))  # low-level features
+    out = jnp.ones((1, 64, 128, 2))
+    pos_h = jnp.tile(jnp.arange(1024)[None, :, None] // 8, (1, 1, 16))
+    pos_w = jnp.zeros((1, 1024, 16), jnp.int32)
+    m = HANetConv(out_channels=2, pooling="max", pos_rfactor=2)
+    vs = m.init(jax.random.PRNGKey(0), x, out, (pos_h, pos_w))
+    gated, att = m.apply(vs, x, out, (pos_h, pos_w))
+    assert gated.shape == out.shape
+    assert att.shape == (1, 64, 2)
+
+    pooled = adaptive_pool_rows(jnp.ones((1, 100, 7, 3)), 64, "mean")
+    assert pooled.shape == (1, 64, 3)
+    tab = sinusoid_table(65, 4)
+    assert tab.shape == (65, 4)
+
+
+def test_flagship_with_hanet():
+    cfg = PMTConfig()
+    cfg.model.hanet = True
+    model = models.get_network(cfg)
+    left = jnp.zeros((1, 32, 64, 3))
+    h = jnp.tile(jnp.arange(1024)[None, :, None] // 8, (1, 1, 8))
+    w = jnp.zeros((1, 1024, 8), jnp.int32)
+    vs = model.init({"params": jax.random.PRNGKey(0)}, left, left,
+                    train=False, pos=(h, w))
+    out = model.apply(vs, left, left, train=False, pos=(h, w))
+    assert out["seg2"].shape == (1, 32, 64, 2)
