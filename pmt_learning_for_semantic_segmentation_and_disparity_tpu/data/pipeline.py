@@ -58,6 +58,7 @@ class DataLoader:
         seed: int = 0,
         drop_last: bool = True,
         bucket_hw=None,
+        pad_batch: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -66,6 +67,10 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.bucket_hw = bucket_hw
+        # pad_batch: repeat the last sample so every batch has batch_size
+        # rows (needed when the batch shards over a mesh); 'valid' in the
+        # batch dict records the true count.
+        self.pad_batch = pad_batch
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -92,9 +97,15 @@ class DataLoader:
                 if len(chunk) < self.batch_size and self.drop_last:
                     break
                 samples = list(pool.map(self.dataset.__getitem__, chunk))
+                valid = len(samples)
+                if self.pad_batch and valid < self.batch_size:
+                    samples = samples + [samples[-1]] * (
+                        self.batch_size - valid
+                    )
                 batch = _stack(samples)
                 if self.bucket_hw is not None:
                     batch = pad_to_bucket(batch, self.bucket_hw)
+                batch["valid"] = valid
                 yield batch
 
 
@@ -104,7 +115,7 @@ def prefetch_to_mesh(iterator, mesh, size: int = 2):
     buf = collections.deque()
 
     def put(b):
-        meta = b.pop("meta", None)
+        meta = {"meta": b.pop("meta", None), "valid": b.pop("valid", None)}
         dev = {
             k: jax.device_put(v, sharding)
             for k, v in b.items()

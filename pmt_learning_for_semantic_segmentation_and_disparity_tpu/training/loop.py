@@ -87,7 +87,10 @@ class Session:
         it = (
             prefetch_to_mesh(loader, self.mesh)
             if self.mesh is not None
-            else ((b, b.pop("meta", None)) for b in map(dict, loader))
+            else (
+                (b, {"meta": b.pop("meta", None), "valid": b.pop("valid", None)})
+                for b in map(dict, loader)
+            )
         )
         for i, (batch, _) in enumerate(it):
             rng, sub = jax.random.split(rng)
@@ -111,7 +114,10 @@ class Session:
         it = (
             prefetch_to_mesh(loader, self.mesh)
             if self.mesh is not None
-            else ((b, b.pop("meta", None)) for b in map(dict, loader))
+            else (
+                (b, {"meta": b.pop("meta", None), "valid": b.pop("valid", None)})
+                for b in map(dict, loader)
+            )
         )
         for batch, _ in it:
             _, m = self._eval_step(
@@ -149,10 +155,13 @@ class Session:
             trainset, cfg.run.batch, shuffle=True,
             num_workers=cfg.data.num_workers, seed=cfg.run.seed,
         )
+        n_dev = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+        eval_batch = max(n_dev, (min(cfg.run.batch, max(1, len(testset)))
+                                 // n_dev) * n_dev)
         test_loader = DataLoader(
-            testset, min(cfg.run.batch, max(1, len(testset))), shuffle=False,
+            testset, eval_batch, shuffle=False,
             num_workers=cfg.data.num_workers, drop_last=False,
-            bucket_hw=cfg.data.eval_shape,
+            bucket_hw=cfg.data.eval_shape, pad_batch=True,
         )
         first = next(iter(train_loader))
         self.init_state(first, steps_per_epoch=len(train_loader))

@@ -1,0 +1,44 @@
+"""End-to-end Session.fit on the synthetic ROSeS fixture (8-dev CPU mesh)."""
+import numpy as np
+import pytest
+
+from pmt_learning_for_semantic_segmentation_and_disparity_tpu.core import PMTConfig
+from pmt_learning_for_semantic_segmentation_and_disparity_tpu import data as D
+from pmt_learning_for_semantic_segmentation_and_disparity_tpu.training import Session
+
+
+def test_session_fit_end_to_end(tmp_path):
+    manifests = D.make_roses_fixture(str(tmp_path / "ds"), n_train=8,
+                                     n_test=2, hw=(288, 544))
+    cfg = PMTConfig()
+    D.apply_fixture_to_config(cfg, manifests)
+    cfg.model.net = "sdnet_mini"
+    cfg.model.output_activation = "linear"
+    cfg.loss.losses = ("cross_entropy",)
+    cfg.data.crop = (64, 128)
+    cfg.data.eval_shape = (288, 544)
+    cfg.data.num_workers = 2
+    cfg.run.batch = 8
+    cfg.run.epochs = 1
+    cfg.run.eval_every = 1
+    cfg.run.save_path = str(tmp_path / "results")
+
+    session = Session(cfg)
+    history = session.fit(log=lambda *a, **k: None)
+    assert len(history) == 1
+    ev = history[0]
+    assert np.isfinite(ev["loss"])
+    assert 0.0 <= ev["miou2"] <= 1.0
+    # checkpoint written
+    import os
+
+    ckpt_root = os.path.join(cfg.run.save_path, cfg.model_id())
+    assert os.path.isdir(ckpt_root)
+    # resumable
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.training import (
+        CheckpointManager,
+    )
+
+    mgr = CheckpointManager(ckpt_root)
+    restored = mgr.restore(session.state)
+    assert int(np.asarray(restored.step)) > 0
