@@ -18,13 +18,17 @@ import os
 import sys
 import time
 
-H, W, BATCH = 512, 960, 4
+H, W, BATCH = 512, 960, int(os.environ.get("PMT_BENCH_BATCH", "8"))
 WARMUP, ITERS = 2, 8
 
 
 def measure_tpu() -> float:
     import jax
     import jax.numpy as jnp
+
+    # executable cache: skips the (remote) compile on repeat runs
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pmt_learning_for_semantic_segmentation_and_disparity_tpu import models

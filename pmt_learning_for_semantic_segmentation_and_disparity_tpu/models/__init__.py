@@ -32,3 +32,4 @@ def get_network(cfg: PMTConfig, axis_name=None):
     """Build the configured model. Returns a flax Module."""
     factory = MODELS.get(cfg.model.net)
     return factory(cfg.model, labels=cfg.data.n_labels, axis_name=axis_name)
+from .encdec import EncoderDecoderNet  # noqa: F401

@@ -137,6 +137,54 @@ def correlation1d_pallas(
 
 
 # ---------------------------------------------------------------------------
+# differentiable 1-D correlation: Pallas forward + lax backward
+# ---------------------------------------------------------------------------
+
+
+def _corr1d_bwd_lax(f1, f2, g, pw: int):
+    """Analytic VJP of the 1-D correlation.
+
+    out[b,y,x,d] = sum_c f1[b,y,x,c] * f2p[b,y,x+d,c]   (f2p = W-pad by rw)
+    df1[b,y,x,c] = sum_d g[b,y,x,d] * f2p[b,y,x+d,c]
+    df2[b,y,x',c] = sum_d (g[...,d]*f1)[b,y,x'-(d-rw),c]  (zero outside)
+    """
+    b, h, w, c = f1.shape
+    rw = pw // 2
+    f2p = jnp.pad(f2, ((0, 0), (0, 0), (rw, rw), (0, 0)))
+    df1 = jnp.zeros_like(f1)
+    df2 = jnp.zeros_like(f2)
+    for d in range(pw):
+        gd = g[..., d : d + 1]
+        df1 = df1 + gd * jax.lax.dynamic_slice(f2p, (0, 0, d, 0), (b, h, w, c))
+        s = gd * f1  # contribution lands at x + d - rw in f2 coords
+        off = d - rw
+        if off >= 0:
+            df2 = df2.at[:, :, off:, :].add(s[:, :, : w - off, :])
+        else:
+            df2 = df2.at[:, :, : w + off, :].add(s[:, :, -off:, :])
+    return df1, df2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _corr1d(f1, f2, pw: int):
+    if _HAS_PLTPU and jax.default_backend() == "tpu":
+        return correlation1d_pallas(f1, f2, pw)
+    return correlation_lax(f1, f2, (1, pw))
+
+
+def _corr1d_fwd(f1, f2, pw: int):
+    return _corr1d(f1, f2, pw), (f1, f2)
+
+
+def _corr1d_vjp(pw, res, g):
+    f1, f2 = res
+    return _corr1d_bwd_lax(f1, f2, g, pw)
+
+
+_corr1d.defvjp(_corr1d_fwd, _corr1d_vjp)
+
+
+# ---------------------------------------------------------------------------
 # public entry
 # ---------------------------------------------------------------------------
 
@@ -148,14 +196,9 @@ def correlation(
     normalize: bool = False,
     use_pallas: bool = True,
 ) -> jnp.ndarray:
-    """Dispatch: Pallas for 1-D patches on TPU, lax otherwise."""
+    """Dispatch: Pallas (with analytic custom_vjp) for 1-D patches on TPU,
+    lax otherwise."""
     ph, pw = patch
-    if (
-        use_pallas
-        and ph == 1
-        and not normalize
-        and _HAS_PLTPU
-        and jax.default_backend() == "tpu"
-    ):
-        return correlation1d_pallas(f1, f2, pw)
+    if use_pallas and ph == 1 and not normalize:
+        return _corr1d(f1, f2, pw)
     return correlation_lax(f1, f2, patch, normalize=normalize)

@@ -25,6 +25,15 @@ def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     oh, ow = int(size[0]), int(size[1])
     if (oh, ow) == (h, w):
         return x
+    if oh % h == 0 and ow % w == 0:
+        # integer upsample: floor(i*h/oh) == i // k, so torch-nearest is an
+        # exact pixel repeat — broadcast+reshape, far cheaper than gather
+        kh, kw = oh // h, ow // w
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, kh, w, kw, c))
+        return x.reshape(n, oh, ow, c)
+    if h % oh == 0 and w % ow == 0:
+        # integer downsample: floor(i*h/oh) == i*k — strided slice
+        return x[:, :: h // oh, :: w // ow]
     # torch nearest: src_idx = floor(dst_idx * in/out)
     rows = jnp.floor(jnp.arange(oh) * (h / oh)).astype(jnp.int32)
     cols = jnp.floor(jnp.arange(ow) * (w / ow)).astype(jnp.int32)

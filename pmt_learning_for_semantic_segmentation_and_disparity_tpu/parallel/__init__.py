@@ -7,3 +7,8 @@ from .mesh import (  # noqa: F401
     replicate,
     local_batch_size,
 )
+from .spatial import (  # noqa: F401
+    spatial_shard_infer,
+    split_bands,
+    merge_bands,
+)

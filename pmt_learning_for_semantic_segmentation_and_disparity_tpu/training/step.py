@@ -52,6 +52,12 @@ def _model_inputs(cfg: PMTConfig, batch: Dict[str, jnp.ndarray]):
         kwargs["seg_labels"] = jnp.argmax(batch["seg"], axis=-1)
     if ot == "ThreeOutPutsDisp":
         kwargs["disp_gt"] = batch["disp"]
+    if ot == "edgeOut":
+        # the grad-mag edge map is a model input for the edge nets
+        # (netForward, torch_implementation.py:135-137; normalize=False)
+        from ..ops.edges import compute_grad_mag
+
+        kwargs["left_e"] = compute_grad_mag(batch["left"], normalize=False)
     return left, right, kwargs
 
 

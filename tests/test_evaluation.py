@@ -99,3 +99,23 @@ def test_dump_prediction_images(tmp_path):
     )
     assert (tmp_path / "segPred_3.jpg").exists()
     assert (tmp_path / "dispGT_3.jpg").exists()
+
+
+def test_spatial_band_split_merge_roundtrip():
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.parallel import (
+        split_bands,
+        merge_bands,
+        spatial_shard_infer,
+    )
+
+    x = jnp.arange(2 * 64 * 16 * 3, dtype=jnp.float32).reshape(2, 64, 16, 3)
+    bands, meta, full = split_bands(x, 4, halo=8)
+    assert bands.shape == (8, 32, 16, 3)
+    back = merge_bands(bands, meta, full, halo=8)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    # identity 'model' through the band path
+    out = spatial_shard_infer(
+        lambda l, r: {"seg1": l}, x, x, n_bands=4, halo=8
+    )
+    np.testing.assert_array_equal(np.asarray(out["seg1"]), np.asarray(x))

@@ -191,3 +191,22 @@ def test_box_count(rng):
     out = np.asarray(ops.box_count(jnp.asarray(x), 3, padding="VALID"))
     assert out.shape == (1, 4, 4, 2)
     np.testing.assert_allclose(out, 9.0)
+
+
+def test_correlation_custom_vjp_matches_lax_grad(rng):
+    """Pallas-forward correlation's analytic VJP vs autodiff of the lax
+    reference implementation."""
+    f1 = jnp.asarray(rng.standard_normal((1, 4, 10, 6), dtype=np.float32))
+    f2 = jnp.asarray(rng.standard_normal((1, 4, 10, 6), dtype=np.float32))
+    g = jnp.asarray(rng.standard_normal((1, 4, 10, 5), dtype=np.float32))
+
+    def loss_custom(a, b):
+        return jnp.sum(ops.correlation(a, b, (1, 5)) * g)
+
+    def loss_lax(a, b):
+        return jnp.sum(ops.correlation_lax(a, b, (1, 5)) * g)
+
+    g1c, g2c = jax.grad(loss_custom, argnums=(0, 1))(f1, f2)
+    g1l, g2l = jax.grad(loss_lax, argnums=(0, 1))(f1, f2)
+    np.testing.assert_allclose(np.asarray(g1c), np.asarray(g1l), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2c), np.asarray(g2l), atol=1e-5)

@@ -1,0 +1,125 @@
+"""Train-step grad tests across loss stacks and outputTypes — every config
+must be end-to-end differentiable (guards against non-autodiff ops like raw
+pallas calls sneaking into the training path)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmt_learning_for_semantic_segmentation_and_disparity_tpu.core import PMTConfig
+from pmt_learning_for_semantic_segmentation_and_disparity_tpu import models
+from pmt_learning_for_semantic_segmentation_and_disparity_tpu.training import (
+    TrainState,
+    build_optimizer,
+    make_train_step,
+)
+
+
+def _toy_batch(rng, b=1, h=32, w=64, c=2):
+    labels = rng.integers(0, c, (b, h, w))
+    return {
+        "left": jnp.asarray(rng.standard_normal((b, h, w, 3), dtype=np.float32)),
+        "right": jnp.asarray(rng.standard_normal((b, h, w, 3), dtype=np.float32)),
+        "seg": jnp.asarray(np.eye(c, dtype=np.float32)[labels]),
+        "disp": jnp.asarray(rng.random((b, h, w, 1), dtype=np.float32)),
+        "edges": jnp.asarray(
+            (rng.random((b, h, w, 1)) > 0.9).astype(np.float32)
+        ),
+    }
+
+
+def _one_step(cfg, rng, h=32, w=64, init_kwargs=None):
+    model = models.get_network(cfg)
+    batch = _toy_batch(rng, h=h, w=w)
+    left = batch["left"]
+    if cfg.model.edges:
+        left = jnp.concatenate([left, batch["edges"]], axis=-1)
+    kwargs = dict(init_kwargs or {})
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        left, left, train=False, **kwargs,
+    )
+    tx = build_optimizer(cfg.optim, cfg.model.net, len(cfg.loss.losses), 5)
+    state = TrainState.create(
+        model.apply, variables["params"], variables.get("batch_stats", {}), tx
+    )
+    step = make_train_step(cfg, model, mesh=None)
+    # snapshot before the step — the step donates its input state
+    l0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    state2, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"])), metrics["loss"]
+    l1 = np.asarray(jax.tree_util.tree_leaves(state2.params)[0])
+    assert not np.allclose(l0, l1)  # parameters actually moved
+    return metrics
+
+
+def test_full_multi_loss_stack(rng):
+    """CE + lovasz + tversky(custom_vjp) + tversky2 + ohm + dice on the
+    flagship — the 'sdnet_mini_ext with MultiTversky+OHEM' bench config."""
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini"  # small model, same loss path
+    cfg.loss.losses = ("cross_entropy", "lovasz_loss", "tversky_loss",
+                       "tversky_loss2", "ohm_loss", "dice_loss")
+    cfg.loss.seg_weight = True
+    _one_step(cfg, rng)
+
+
+def test_flagship_trains_with_pallas_corr_dispatch(rng):
+    """sdnet_mini_ext includes ops.correlation, whose training path must be
+    differentiable on every backend (custom_vjp regression test)."""
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext"
+    cfg.loss.losses = ("cross_entropy", "lovasz_loss")
+    _one_step(cfg, rng)
+
+
+def test_area_and_smoothness_losses(rng):
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini"
+    cfg.loss.losses = ("cross_entropy", "area_ce", "area_hinge", "smooth_grad")
+    _one_step(cfg, rng)
+
+
+def test_warp_photo_consistency_step(rng):
+    cfg = PMTConfig()
+    cfg.model.net = "dsnet_warp_disp_consist"  # ThreeOutPutsDispConsist
+    cfg.loss.losses = ("cross_entropy",)
+    _one_step(cfg, rng, h=64, w=64)
+
+
+def test_multitask_kendall_step(rng):
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext"
+    cfg.model.multaskloss = 1
+    cfg.loss.losses = ("cross_entropy",)
+    _one_step(
+        cfg, rng,
+        init_kwargs=dict(
+            disp_gt=jnp.zeros((1, 32, 64, 1)),
+            seg_labels=jnp.zeros((1, 32, 64), jnp.int32),
+        ),
+    )
+
+
+def test_step_timer():
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.profiling import (
+        StepTimer,
+    )
+
+    t = StepTimer(warmup=0)
+    t.tick()
+    t.tick()
+    assert t.mean > 0
+    assert t.throughput(8) > 0
+
+
+def test_edge_out_step(rng):
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext_small_edge"  # outputType edgeOut
+    cfg.loss.losses = ("cross_entropy",)
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.ops.edges import (
+        compute_grad_mag,
+    )
+
+    left_e = compute_grad_mag(jnp.zeros((1, 32, 64, 3)), normalize=False)
+    _one_step(cfg, rng, init_kwargs=dict(left_e=left_e))
