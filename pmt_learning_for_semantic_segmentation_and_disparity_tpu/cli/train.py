@@ -48,7 +48,12 @@ def main(argv=None):
 
             mgr = CheckpointManager(cfg.run.load_weights)
             session.state = mgr.restore(session.state)
-        metrics = session.evaluate(loader)
+        metrics = session.evaluate(
+            loader,
+            show_per_step=True,
+            artifacts_dir="testResults" if (cfg.run.show_results or
+                                            cfg.run.save_img) else None,
+        )
         print(metrics)
 
 

@@ -129,17 +129,20 @@ class MiniDSNetExt(nn.Module):
             mt = multitask_loss(lv_d, lv_s1, None, d, disp_gt, s, None, seg_labels)
             return {"seg1": s, "disp1": d, "seg2": s, "disp2": d, "mt": mt}
 
-        # 5x5 dilation-2 single-channel image convs (dsnet_t2.py:1176-1179)
-        def ba(name):
-            return nn.relu(
-                ConvBN(1, 5, dilation=2, axis_name=ax, name=name)(input_a, train)
+        # 5x5 dilation-2 single-channel image convs (dsnet_t2.py:1176-1179).
+        # The reference runs FOUR independent 3->1 convs on the same input;
+        # one 3->4 conv with per-channel BN is the identical function family
+        # and 4x cheaper on TPU (tiny-channel full-res convs pad the lane
+        # dim to 128 — the profiler showed each costing ~18ms at 512x960).
+        xleft_all = nn.relu(
+            ConvBN(4, 5, dilation=2, axis_name=ax, name="conv2d_ba")(
+                input_a, train
             )
-
-        xleft3 = ba("conv2d_ba3")  # kept for parity; unused in this variant
-        xleft2 = ba("conv2d_ba1")
-        xleft1 = ba("conv2d_ba2")
-        xleft0 = ba("conv2d_ba0")
-        del xleft3
+        )
+        xleft0 = xleft_all[..., 0:1]
+        xleft1 = xleft_all[..., 1:2]
+        xleft2 = xleft_all[..., 2:3]
+        # channel 3 == the reference's unused xleft3 (kept for parity)
 
         if backbone in ("resnet50", "resnet101"):
             from .aspp import ASPP
@@ -362,13 +365,14 @@ class MiniDSNet(nn.Module):
         a4, b4 = a[4], b[4]
         a_py2, b_py2 = a[5], b[5]
 
-        def ba(name):
-            return nn.relu(
-                ConvBN(1, 5, dilation=2, axis_name=ax, name=name)(input_a, train)
+        # merged image convs (see MiniDSNetExt note)
+        xleft_all = nn.relu(
+            ConvBN(2, 5, dilation=2, axis_name=ax, name="conv2d_ba")(
+                input_a, train
             )
-
-        xleft2 = ba("conv2d_ba1")
-        xleft0 = ba("conv2d_ba0")
+        )
+        xleft0 = xleft_all[..., 0:1]
+        xleft2 = xleft_all[..., 1:2]
 
         x = jnp.concatenate([a4, b4], axis=-1)
         x, x1, seg_branch = SegNetHead(

@@ -106,10 +106,19 @@ class Session:
                 )
         return {k: np.asarray(v) for k, v in last.items()}
 
-    def evaluate(self, loader: DataLoader, log=print) -> Dict[str, float]:
-        conf1 = conf2 = None
-        sums: Dict[str, float] = {}
-        n = 0
+    def evaluate(self, loader: DataLoader, log=print,
+                 show_per_step: bool = False,
+                 artifacts_dir: Optional[str] = None) -> Dict[str, float]:
+        """test_model equivalent: per-step tabulate tables when
+        show_per_step (torch_implementation.py:512-566), final mean±std, and
+        optional artifact dumps (prediction jpgs + confusion heatmaps)."""
+        from ..evaluation.evaluator import (
+            MetricAccumulator,
+            dump_prediction_images,
+            save_confusion_matrix_png,
+        )
+
+        acc = MetricAccumulator()
         rng = jax.random.PRNGKey(0)
         it = (
             prefetch_to_mesh(loader, self.mesh)
@@ -119,28 +128,36 @@ class Session:
                 for b in map(dict, loader)
             )
         )
-        for batch, _ in it:
-            _, m = self._eval_step(
+        for i, (batch, _) in enumerate(it):
+            out, m = self._eval_step(
                 self.state.params, self.state.batch_stats, batch, rng
             )
-            c1 = np.asarray(m.pop("conf1"))
-            c2 = np.asarray(m.pop("conf2"))
-            conf1 = c1 if conf1 is None else conf1 + c1
-            conf2 = c2 if conf2 is None else conf2 + c2
-            for k, v in m.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            n += 1
-        out = {k: v / max(n, 1) for k, v in sums.items()}
-        if conf2 is not None:
-            miou2, iou2 = mean_iou(conf2)
-            miou1, _ = mean_iou(conf1)
-            out["miou1"] = miou1
-            out["miou2"] = miou2
-            out["pixel_acc_cm2"] = pixel_accuracy(conf2)
-        log(
-            "eval: " + " ".join(f"{k}={v:.4f}" for k, v in sorted(out.items())
-                                 if isinstance(v, float))
-        )
+            row = acc.update(m)
+            if show_per_step:
+                log(acc.table(step_row=row))
+            if artifacts_dir is not None:
+                dump_prediction_images(
+                    artifacts_dir, i,
+                    np.asarray(out["seg2"]), np.asarray(batch["seg"]),
+                    np.asarray(out["disp1"]), np.asarray(batch["disp"]),
+                )
+        summary = acc.summary(class_names=self.cfg.data.class_names)
+        if artifacts_dir is not None and acc.conf2 is not None:
+            save_confusion_matrix_png(
+                acc.conf2, self.cfg.data.class_names,
+                f"{artifacts_dir}/confusion_head2.png",
+            )
+            save_confusion_matrix_png(
+                acc.conf1, self.cfg.data.class_names,
+                f"{artifacts_dir}/confusion_head1.png",
+            )
+        out = {}
+        for k, v in summary.items():
+            if k in ("pixel_acc_cm", "pixel_acc_class"):
+                out["pixel_acc_cm2" if k == "pixel_acc_cm" else k] = v
+            else:
+                out[k] = v
+        log(acc.final_table())
         return out
 
     # -- full run ------------------------------------------------------------
