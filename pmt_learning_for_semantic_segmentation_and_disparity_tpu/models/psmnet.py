@@ -227,15 +227,14 @@ class PSMNet(nn.Module):
 
         hp, wp = lp.shape[1], lp.shape[2]
 
+        from ..ops.costvolume import upsampled_soft_argmin
+
         def regress(cvol):
-            # trilinear upsample to (maxdisp, H, W), softmax over D,
-            # soft-argmin (submodule.py:56-64)
+            # fused trilinear upsample + softmax + soft-argmin
+            # (submodule.py:56-64) — never materializes the full-res volume
             v = cvol[..., 0]  # (B, D, H, W)
-            v = jax.image.resize(
-                v, (v.shape[0], self.maxdisp, hp, wp), method="linear",
-                antialias=False,
-            )
-            d = soft_argmin(v, self.maxdisp)
+            chunk = 32 if hp % 32 == 0 else (16 if hp % 16 == 0 else hp)
+            d = upsampled_soft_argmin(v, self.maxdisp, (hp, wp), chunk=chunk)
             return d[:, ph:, pw:][..., None]  # unpad, NHWC 1ch
 
         pred3 = regress(cost3)

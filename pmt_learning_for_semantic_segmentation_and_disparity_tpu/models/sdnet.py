@@ -111,8 +111,19 @@ class MiniDSNetExt(nn.Module):
         full_hw = (left.shape[1], left.shape[2])
 
         pyr = PiramidNet2(backbone=backbone, axis_name=ax, name="features")
-        a0, a1, a2, a3, a4, a_py2, a_py1, a_py0 = pyr(left, train)
-        b0, b1, b2, b3, b4, b_py2, b_py1, b_py0 = pyr(right, train)
+        if train:
+            # separate passes: BN batch stats per view, like the reference's
+            # two forward calls
+            a0, a1, a2, a3, a4, a_py2, a_py1, a_py0 = pyr(left, train)
+            b0, b1, b2, b3, b4, b_py2, b_py1, b_py0 = pyr(right, train)
+        else:
+            # eval: BN uses running stats, so stacking L/R into the batch is
+            # EXACTLY equivalent — and doubles the conv batch (better MXU
+            # utilization, half the kernel launches)
+            nb = left.shape[0]
+            both = pyr(jnp.concatenate([left, right], axis=0), train)
+            a0, a1, a2, a3, a4, a_py2, a_py1, a_py0 = (t[:nb] for t in both)
+            b0, b1, b2, b3, b4, b_py2, b_py1, b_py0 = (t[nb:] for t in both)
 
         # Kendall decoder-only mode (dsnet_t2.py:1162-1168)
         if m.multaskloss == 2:

@@ -210,3 +210,21 @@ def test_correlation_custom_vjp_matches_lax_grad(rng):
     g1l, g2l = jax.grad(loss_lax, argnums=(0, 1))(f1, f2)
     np.testing.assert_allclose(np.asarray(g1c), np.asarray(g1l), atol=1e-5)
     np.testing.assert_allclose(np.asarray(g2c), np.asarray(g2l), atol=1e-5)
+
+
+def test_upsampled_soft_argmin_matches_naive(rng):
+    """Fused chunked regression == materialize-then-softmax reference."""
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.ops.costvolume import (
+        soft_argmin,
+        upsampled_soft_argmin,
+    )
+
+    b, d4, h4, w4 = 1, 12, 8, 10
+    maxd, oh, ow = 48, 32, 40
+    cost = jnp.asarray(rng.standard_normal((b, d4, h4, w4), dtype=np.float32))
+    naive = jax.image.resize(cost, (b, maxd, oh, ow), method="linear",
+                             antialias=False)
+    ref = soft_argmin(naive, maxd)
+    got = upsampled_soft_argmin(cost, maxd, (oh, ow), chunk=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
