@@ -26,6 +26,7 @@ from . import sdnet_legacy  # noqa: F401
 from . import ext_small  # noqa: F401
 from . import sdnet_dlab  # noqa: F401
 from . import hanet  # noqa: F401
+from . import efficientnet  # noqa: F401
 
 
 def get_network(cfg: PMTConfig, axis_name=None):

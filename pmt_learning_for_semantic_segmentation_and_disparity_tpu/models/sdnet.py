@@ -35,6 +35,10 @@ _BACKBONE_DIMS = {
     "mobilenet": (320, 304),
     "resnet50": (512, 768),
     "resnet101": (512, 768),
+    "efficientnet-b5": (4096, 512),
+    "efficientnet-b4": (3584, 320),
+    "efficientnet-b3": (3072, 320),
+    "efficientnet-b2": (2816, 304),
 }
 
 

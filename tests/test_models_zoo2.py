@@ -123,3 +123,25 @@ def test_flagship_with_hanet():
                     train=False, pos=(h, w))
     out = model.apply(vs, left, left, train=False, pos=(h, w))
     assert out["seg2"].shape == (1, 32, 64, 2)
+
+
+def test_efficientnet_b2_endpoints():
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.core.registry import (
+        BACKBONES,
+    )
+
+    m = BACKBONES.get("efficientnet-b2")()
+    x = jnp.zeros((1, 64, 64, 3))
+    vs = m.init(jax.random.PRNGKey(0), x)
+    eps = m.apply(vs, x)
+    # reference channel comments (dsnet_t2.py:1974-1981):
+    # (16@/2, 24@/4, 48@/8, 120@/16, 1408@/32)
+    assert [e.shape[-1] for e in eps] == [16, 24, 48, 120, 1408]
+    assert [e.shape[1] for e in eps] == [32, 16, 8, 4, 2]
+
+
+def test_flagship_efficientnet_backbone():
+    cfg = PMTConfig()
+    cfg.model.backbone = "efficientnet-b2"
+    out = _run(cfg, 32, 64)
+    assert out["seg2"].shape == (1, 32, 64, 2)
