@@ -142,3 +142,58 @@ def test_stereo_flip_reprojection():
     np.testing.assert_array_equal(out[0][:, :, 0], np.ones((h, w)))
     # occlusion marked in the ignore channel
     assert out[3][..., -1].sum() > 0
+
+
+def test_hdf5_dataset_source(tmp_path):
+    """hdf5-backed dataset (utilTorchDataLoader.py:37-42,139-144)."""
+    import h5py
+
+    p = str(tmp_path / "data.h5")
+    rng2 = np.random.default_rng(0)
+    with h5py.File(p, "w") as f:
+        f["left"] = rng2.integers(0, 255, (3, 32, 48, 3), np.uint8)
+        f["right"] = rng2.integers(0, 255, (3, 32, 48, 3), np.uint8)
+        f["seg"] = rng2.integers(0, 2, (3, 32, 48, 2)).astype(np.float32)
+        f["disp"] = rng2.random((3, 32, 48)).astype(np.float32)
+    ds = D.StereoSegDataset(
+        [], [], 2, 1.0, "roses",
+        np.array([[0, 0, 0], [1, 1, 1]], np.float32), hdf5=p,
+    )
+    assert len(ds) == 3
+    raw = ds.load_raw(1)
+    assert raw["left"].shape == (32, 48, 3)
+    assert raw["left"].max() <= 1.0  # /255 path
+
+
+def test_only_test_mode(fixture_dir):
+    """only_test: zero labels + path metadata (utilTorchDataLoader.py:260-272)."""
+    root, manifests = fixture_dir
+    cfg = _cfg(manifests)
+    cfg.data.only_test = True
+    norm = np.array([[0, 0, 0], [1, 1, 1]], np.float32)
+    _, te = D.build_datasets(cfg.data, "linear", 1.0, norm, train=False)
+    s = te[0]
+    assert s["seg"].shape[-1] == 3  # n_labels + 1
+    assert float(np.abs(s["seg"]).sum()) == 0.0
+    assert float(np.abs(s["disp"]).sum()) == 0.0
+    assert len(s["meta"]) == 2 and s["meta"][0].endswith(".png")
+
+
+def test_class_balancer(tmp_path):
+    """Least-sampled-class bookkeeping (utilTorchDataLoader.py:60-125)."""
+    import pandas as pd
+
+    csv = tmp_path / "labels.csv"
+    pd.DataFrame({
+        "n": [0, 1, 2, 3],
+        "0": [1, 1, 0, 0],
+        "1": [0, 1, 1, 1],
+    }).to_csv(csv, index=False)
+    bal = D.ClassBalancer(str(csv), "roses", 2)
+    rng2 = np.random.default_rng(0)
+    picks = [bal.next_index(rng2) for _ in range(40)]
+    idxs = [p[0] for p in picks]
+    classes = [p[1] for p in picks]
+    assert set(idxs) <= {0, 1, 2, 3}
+    # both classes get sampled, roughly balanced
+    assert abs(classes.count(0) - classes.count(1)) <= 4

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Training-step throughput: flagship joint training with the
+MultiTversky+OHEM loss stack (BASELINE.md config #3) on one TPU chip."""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+from pmt_learning_for_semantic_segmentation_and_disparity_tpu.core import PMTConfig
+from pmt_learning_for_semantic_segmentation_and_disparity_tpu import models
+from pmt_learning_for_semantic_segmentation_and_disparity_tpu.training import (
+    TrainState, build_optimizer, make_train_step,
+)
+
+H, W, BATCH = 256, 512, 8  # the flagship TRAINING crop (trainTorchImpl.sh)
+ITERS = 8
+
+
+def main():
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext"
+    cfg.loss.losses = ("cross_entropy", "lovasz_loss", "tversky_loss",
+                       "ohm_loss")
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 2, (BATCH, H, W))
+    batch = {
+        "left": jnp.asarray(rng.standard_normal((BATCH, H, W, 3), dtype=np.float32)),
+        "right": jnp.asarray(rng.standard_normal((BATCH, H, W, 3), dtype=np.float32)),
+        "seg": jnp.asarray(np.eye(2, dtype=np.float32)[labels]),
+        "disp": jnp.asarray(rng.random((BATCH, H, W, 1), dtype=np.float32)),
+        "edges": jnp.zeros((BATCH, H, W, 1), jnp.float32),
+    }
+    model = models.get_network(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["left"][:1], batch["left"][:1], train=False,
+    )
+    tx = build_optimizer(cfg.optim, cfg.model.net, len(cfg.loss.losses), 100)
+    state = TrainState.create(model.apply, variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    step = make_train_step(cfg, model, mesh=None)
+    key = jax.random.PRNGKey(0)
+    state, m = step(state, batch, key)  # compile
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, m = step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "train_pairs_per_sec_per_chip_256x512_multitversky_ohem",
+        "value": round(BATCH * ITERS / dt, 3),
+        "unit": "pairs/sec/chip",
+        "loss": float(m["loss"]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
