@@ -50,11 +50,15 @@ def main():
     step = make_train_step(cfg, model, mesh=None)
     key = jax.random.PRNGKey(0)
     state, m = step(state, batch, key)  # compile
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
+    # per-step host sync: over the axon relay, block_until_ready on a chain
+    # of donated steps returns early (measured 20x optimistic); a host
+    # transfer per step is the honest (slightly pessimistic: +RTT) timer.
+    # Device-profiled step time: 342 ms (tools/prof notes, BENCH_NOTES.md).
     t0 = time.perf_counter()
     for i in range(ITERS):
         state, m = step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(m["loss"])
+        float(m["loss"])
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": "train_pairs_per_sec_per_chip_256x512_multitversky_ohem",
