@@ -63,7 +63,8 @@ VALID_NETS = (
 
 VALID_BACKBONES = (
     "densenet", "dn169", "dn201", "dn161", "mobilenet", "resnet50",
-    "resnet101", "efficientnet-b2", "efficientnet-b3", "efficientnet-b5",
+    "resnet101", "efficientnet-b2", "efficientnet-b3", "efficientnet-b4",
+    "efficientnet-b5",
 )
 
 VALID_LOSSES = (
@@ -217,8 +218,9 @@ class ParallelConfig:
 
     data_axis: int = 0  # 0 -> use all visible devices on the 'data' axis
     mesh_axes: Tuple[str, ...] = ("data",)
-    # bf16 params stay fp32; activations/conv compute in bfloat16 when True
-    bf16: bool = True
+    # mixed precision: fp32 master params, bf16 compute (enabled by -f16 /
+    # -torch_amp like the reference's apex/amp switches)
+    bf16: bool = False
     sync_batchnorm: bool = True
 
 

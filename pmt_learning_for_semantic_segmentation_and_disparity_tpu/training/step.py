@@ -72,9 +72,34 @@ def make_loss_fn(cfg: PMTConfig, model):
                                   cfg.loss.seg_weight)
     dsp_loss = compose_disp_loss(cfg.loss.losses, d.dataset_name, ot)
 
+    bf16 = cfg.parallel.bf16
+
+    def _cast_bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree
+        )
+
+    def _cast_f32(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x, tree
+        )
+
     def loss_fn(params, batch_stats, batch, rng, train: bool = True):
         left, right, kwargs = _model_inputs(cfg, batch)
-        variables = {"params": params, "batch_stats": batch_stats}
+        if bf16:
+            # mixed precision: fp32 master params, bf16 compute (the apex/amp
+            # replacement, torch_implementation.py:726-736 — no loss scaler
+            # needed, bf16 has fp32's exponent range). Gradients come back
+            # fp32 through the cast's transpose.
+            left, right = _cast_bf16(left), _cast_bf16(right)
+            kwargs = _cast_bf16(kwargs)
+            apply_params = _cast_bf16(params)
+            apply_stats = _cast_bf16(batch_stats)
+        else:
+            apply_params, apply_stats = params, batch_stats
+        variables = {"params": apply_params, "batch_stats": apply_stats}
         rngs = {"dropout": rng}
         if train:
             out, mut = model.apply(
@@ -82,10 +107,14 @@ def make_loss_fn(cfg: PMTConfig, model):
                 mutable=["batch_stats"], rngs=rngs, **kwargs,
             )
             new_stats = mut["batch_stats"]
+            if bf16:
+                new_stats = _cast_f32(new_stats)
         else:
             out = model.apply(variables, left, right, train=False,
                               rngs=rngs, **kwargs)
             new_stats = batch_stats
+        if bf16:
+            out = _cast_f32(out)  # losses + metrics stay fp32
         seg_full = batch["seg"]
         disp_gt = batch["disp"]
         logs: Dict[str, jnp.ndarray] = {}

@@ -123,3 +123,13 @@ def test_edge_out_step(rng):
 
     left_e = compute_grad_mag(jnp.zeros((1, 32, 64, 3)), normalize=False)
     _one_step(cfg, rng, init_kwargs=dict(left_e=left_e))
+
+
+def test_bf16_mixed_precision_step(rng):
+    """-f16 equivalent: bf16 compute, fp32 master params + grads."""
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini"
+    cfg.loss.losses = ("cross_entropy",)
+    cfg.parallel.bf16 = True
+    m = _one_step(cfg, rng)
+    assert np.isfinite(float(m["loss"]))

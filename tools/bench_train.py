@@ -30,6 +30,7 @@ def main():
     cfg.model.net = "sdnet_mini_ext"
     cfg.loss.losses = ("cross_entropy", "lovasz_loss", "tversky_loss",
                        "ohm_loss")
+    cfg.parallel.bf16 = os.environ.get("PMT_TRAIN_DTYPE", "bf16") == "bf16"
     rng = np.random.default_rng(0)
     labels = rng.integers(0, 2, (BATCH, H, W))
     batch = {
