@@ -97,9 +97,12 @@ def avg_pool(x: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:
     NHWC.
     """
     n, h, w, c = x.shape
+    import numpy as np
+
     out = jax.lax.reduce_window(
         x,
-        0.0 if x.dtype == jnp.float32 else jnp.zeros((), x.dtype),
+        np.zeros((), x.dtype)[()],  # python/numpy scalar literal — a traced
+        # init value breaks reduce_window's linearization under bf16
         jax.lax.add,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, stride, stride, 1),
