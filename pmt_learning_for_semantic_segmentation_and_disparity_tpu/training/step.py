@@ -101,6 +101,10 @@ def make_loss_fn(cfg: PMTConfig, model):
             apply_params, apply_stats = params, batch_stats
         variables = {"params": apply_params, "batch_stats": apply_stats}
         rngs = {"dropout": rng}
+        # -freeze_bn, and the deeplab rule: train with BatchNorm in eval
+        # mode (torch_implementation.py:236-241, 337-340)
+        if cfg.optim.freeze_bn or ot == "deeplab":
+            train = False
         if train:
             out, mut = model.apply(
                 variables, left, right, train=True,
@@ -190,6 +194,16 @@ def make_train_step(cfg: PMTConfig, model, mesh: Optional[Mesh] = None):
         (loss, (new_stats, out, logs)), grads = grad_fn(
             state.params, state.batch_stats, batch, rng, True
         )
+        if cfg.optim.freeze_bn:
+            # the reference also stops BN affine gradients
+            # (networkOutput, torch_implementation.py:236-241)
+            grads = jax.tree_util.tree_map_with_path(
+                lambda path, g: jnp.zeros_like(g)
+                if any("bn" in str(k).lower() or "norm" in str(k).lower()
+                       for k in path)
+                else g,
+                grads,
+            )
         metrics = compute_metrics(cfg, out, batch)
         metrics.update(logs)
         if mesh is not None:

@@ -133,3 +133,43 @@ def test_bf16_mixed_precision_step(rng):
     cfg.parallel.bf16 = True
     m = _one_step(cfg, rng)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_freeze_bn_zeroes_bn_grads_and_stats(rng):
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini"
+    cfg.loss.losses = ("cross_entropy",)
+    cfg.optim.freeze_bn = True
+    model = models.get_network(cfg)
+    batch = _toy_batch(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["left"], batch["left"], train=False,
+    )
+    tx = build_optimizer(cfg.optim, cfg.model.net, 1, 5)
+    state = TrainState.create(model.apply, variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    stats_before = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    # find a BN scale leaf to compare
+    flat_before = {jax.tree_util.keystr(p): np.asarray(v)
+                   for p, v in jax.tree_util.tree_flatten_with_path(
+                       state.params)[0]}
+    step = make_train_step(cfg, model, mesh=None)
+    state2, m = step(state, batch, jax.random.PRNGKey(2))
+    flat_after = {jax.tree_util.keystr(p): np.asarray(v)
+                  for p, v in jax.tree_util.tree_flatten_with_path(
+                      state2.params)[0]}
+    bn_keys = [k for k in flat_before
+               if ("bn" in k.lower() or "norm" in k.lower())
+               and ("scale" in k or "bias" in k)]
+    assert bn_keys
+    for k in bn_keys:
+        np.testing.assert_array_equal(flat_before[k], flat_after[k])
+    conv_keys = [k for k in flat_before if "kernel" in k]
+    assert any(not np.allclose(flat_before[k], flat_after[k])
+               for k in conv_keys)
+    # batch stats frozen too
+    sa = jax.tree_util.tree_map(np.asarray, state2.batch_stats)
+    for a, b in zip(jax.tree_util.tree_leaves(stats_before),
+                    jax.tree_util.tree_leaves(sa)):
+        np.testing.assert_array_equal(a, b)
