@@ -58,7 +58,40 @@ def _model_inputs(cfg: PMTConfig, batch: Dict[str, jnp.ndarray]):
         from ..ops.edges import compute_grad_mag
 
         kwargs["left_e"] = compute_grad_mag(batch["left"], normalize=False)
+    if ot in ("deeplab", "deeplab_mod"):
+        # scale to [-1,1] and pad by 1 (netForward,
+        # torch_implementation.py:123-131)
+        from ..models.deeplab import deeplab_preprocess
+
+        left, right, _ = deeplab_preprocess(left, right)
     return left, right, kwargs
+
+
+def _postprocess_outputs(cfg: PMTConfig, out, batch):
+    """The head fix-ups netForward applies after the model
+    (torch_implementation.py:157-179)."""
+    ot = cfg.model.output_type
+    if ot in ("deeplab", "deeplab_mod"):
+        from ..models.deeplab import deeplab_postprocess
+
+        hw = (batch["left"].shape[1], batch["left"].shape[2])
+        out = dict(out)
+        for k in ("seg1", "seg2", "disp1", "disp2"):
+            if out.get(k) is not None:
+                out[k] = deeplab_postprocess(out[k], hw)
+    if ot == "deeplab":
+        out = dict(out)
+        # mono net: disparity faked with GT (torch_implementation.py:159-162)
+        out["disp1"] = out["disp2"] = jax.lax.stop_gradient(batch["disp"])
+        out["seg2"] = out["seg1"]
+    if ot == "pspnet":
+        out = dict(out)
+        # disp-only net: seg heads faked with GT (:167-169)
+        n_fg = cfg.data.n_labels
+        out["seg1"] = out["seg2"] = jax.lax.stop_gradient(
+            batch["seg"][..., :n_fg]
+        )
+    return out
 
 
 def make_loss_fn(cfg: PMTConfig, model):
@@ -119,6 +152,7 @@ def make_loss_fn(cfg: PMTConfig, model):
             new_stats = batch_stats
         if bf16:
             out = _cast_f32(out)  # losses + metrics stay fp32
+        out = _postprocess_outputs(cfg, out, batch)
         seg_full = batch["seg"]
         disp_gt = batch["disp"]
         logs: Dict[str, jnp.ndarray] = {}

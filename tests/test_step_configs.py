@@ -173,3 +173,64 @@ def test_freeze_bn_zeroes_bn_grads_and_stats(rng):
     for a, b in zip(jax.tree_util.tree_leaves(stats_before),
                     jax.tree_util.tree_leaves(sa)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_deeplab_train_step(rng):
+    cfg = PMTConfig()
+    cfg.model.net = "deeplab"
+    cfg.data.dataset_name = "cityscapes"
+    cfg.loss.losses = ("cross_entropy",)
+    model = models.get_network(cfg)
+    b, h, w, c = 1, 32, 64, 19
+    labels = rng.integers(0, c + 1, (b, h, w))
+    batch = {
+        "left": jnp.asarray(rng.standard_normal((b, h, w, 3), dtype=np.float32)),
+        "right": jnp.asarray(rng.standard_normal((b, h, w, 3), dtype=np.float32)),
+        "seg": jnp.asarray(np.eye(c + 1, dtype=np.float32)[labels]),
+        "disp": jnp.asarray(rng.random((b, h, w, 1), dtype=np.float32)),
+        "edges": jnp.zeros((b, h, w, 1), jnp.float32),
+    }
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.models.deeplab import (
+        deeplab_preprocess,
+    )
+
+    lp, _, _ = deeplab_preprocess(batch["left"])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        lp, lp, train=False,
+    )
+    tx = build_optimizer(cfg.optim, cfg.model.net, 1, 5)
+    state = TrainState.create(model.apply, variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    step = make_train_step(cfg, model, mesh=None)
+    state2, m = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
+    # disparity faked with GT -> zero disp loss (torch_implementation.py:159-162)
+    assert abs(float(m["loss_disp"])) < 1e-6
+
+
+def test_pspnet_train_step(rng):
+    cfg = PMTConfig()
+    cfg.model.net = "pspnet"
+    cfg.model.max_disp_psm = 16
+    cfg.loss.losses = ("cross_entropy",)
+    model = models.get_network(cfg)
+    b, h, w = 1, 16, 32
+    labels = rng.integers(0, 2, (b, h, w))
+    batch = {
+        "left": jnp.asarray(rng.standard_normal((b, h, w, 3), dtype=np.float32)),
+        "right": jnp.asarray(rng.standard_normal((b, h, w, 3), dtype=np.float32)),
+        "seg": jnp.asarray(np.eye(2, dtype=np.float32)[labels]),
+        "disp": jnp.asarray(rng.random((b, h, w, 1), dtype=np.float32)),
+        "edges": jnp.zeros((b, h, w, 1), jnp.float32),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["left"], batch["left"], train=False,
+    )
+    tx = build_optimizer(cfg.optim, cfg.model.net, 1, 5)
+    state = TrainState.create(model.apply, variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    step = make_train_step(cfg, model, mesh=None)
+    state2, m = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
