@@ -29,7 +29,8 @@ def ohem_cross_entropy(
         valid = labels != ignore_index
     else:
         valid = jnp.ones_like(labels, dtype=bool)
-    safe_labels = jnp.where(valid, labels, 0)
+    safe_labels = jnp.clip(jnp.where(valid, labels, 0), 0,
+                            logits.shape[-1] - 1)
     gt_prob = jnp.take_along_axis(probs, safe_labels[..., None], axis=-1)[..., 0]
 
     threshold = jnp.asarray(thresh, logits.dtype)

@@ -57,7 +57,8 @@ def categorical_nll(
     """
     labels = jnp.argmax(gt_full, axis=-1)
     valid = (labels != ignore_index).astype(log_probs.dtype)
-    picked = jnp.take_along_axis(log_probs, labels[..., None], axis=-1)[..., 0]
+    safe = jnp.clip(labels, 0, log_probs.shape[-1] - 1)
+    picked = jnp.take_along_axis(log_probs, safe[..., None], axis=-1)[..., 0]
     if weights is not None:
         w = weights[labels] * valid
         return jnp.sum(-picked * w)

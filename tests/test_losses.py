@@ -316,3 +316,62 @@ def test_multitask_loss_matches_torch(rng):
     )
     assert abs(float(jnp.mean(ld)) - t_ld.mean().item()) < 1e-5
     assert abs(float(jnp.mean(l1)) - t_l1.mean().item()) < 1e-5
+
+
+def test_all_loss_compositions_differentiable(rng):
+    """Every -loss keyword composes into a finite, differentiable loss."""
+    import itertools
+
+    configs = [
+        ("cross_entropy",), ("lovasz_loss",), ("binary_ce",),
+        ("cross_entropy", "area_ce"), ("area_hinge",), ("dice_loss",),
+        ("diceEntropy",), ("tversky_loss2",),
+        ("tversky_loss",), ("ohm_loss", "cross_entropy"),
+        ("dual_edge_reg", "cross_entropy"),
+    ]
+    b, h, w, c = 1, 16, 16, 4
+    logits = jnp.asarray(rng.standard_normal((b, h, w, c), dtype=np.float32))
+    labels = rng.integers(0, c + 1, (b, h, w))  # includes ignore channel
+    gt_full = jnp.asarray(np.eye(c + 1, dtype=np.float32)[labels])
+    key = jax.random.PRNGKey(0)
+    for losses_cfg in configs:
+        fn = losses.compose_seg_loss(losses_cfg, "cityscapes", c,
+                                     seg_weight=False)
+        val, grad = jax.value_and_grad(
+            lambda lg: fn(lg, gt_full, key)
+        )(logits)
+        assert np.isfinite(float(val)), losses_cfg
+        assert np.isfinite(np.asarray(grad)).all(), losses_cfg
+
+
+def test_categorical_nll_composition_19class(rng):
+    # categoricalNlll hardcodes ignore_index=19 (utilTorchLoss.py:393-404) —
+    # only meaningful for the 19-class datasets
+    c = 19
+    logits = jnp.asarray(rng.standard_normal((1, 8, 8, c), dtype=np.float32))
+    labels = rng.integers(0, c + 1, (1, 8, 8))
+    gt_full = jnp.asarray(np.eye(c + 1, dtype=np.float32)[labels])
+    fn = losses.compose_seg_loss(("categoricalNlll",), "cityscapes", c)
+    val, grad = jax.value_and_grad(lambda lg: fn(lg, gt_full))(logits)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_ohem_min_kept_parity(rng):
+    from losses.ohm_loss import OhemCrossEntropy2d
+
+    b, h, w, c = 1, 8, 8, 5
+    logits = rng.standard_normal((b, h, w, c), dtype=np.float32) * 5
+    labels = rng.integers(0, c, (b, h, w))
+    ref_mod = OhemCrossEntropy2d(ignore_index=4, min_kept=30)
+    ref = ref_mod(
+        torch.from_numpy(logits.transpose(0, 3, 1, 2)),
+        torch.from_numpy(labels.astype(np.int64)),
+    ).item()
+    got = float(
+        losses.ohem_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(labels), min_kept=30,
+            ignore_index=4,
+        )
+    )
+    assert abs(got - ref) < 1e-4
