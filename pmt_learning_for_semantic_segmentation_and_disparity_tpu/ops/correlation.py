@@ -137,6 +137,94 @@ def correlation1d_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Pallas TPU kernel — 2-D correlation (17x17 patch, sdnet/2dcorr models)
+# ---------------------------------------------------------------------------
+
+
+def _corr2d_kernel(f1_ref, f2p_hbm, out_ref, *, ph, pw, h_tile, w, c):
+    """Grid (B, H_tiles). f1 block (1,TH,W,C) in VMEM; f2p stays in HBM and
+    the (TH+ph-1, W+pw-1, C) halo slice is DMA'd per tile."""
+    j = pl.program_id(1)
+
+    def body(scratch, sem):
+        cp = pltpu.make_async_copy(
+            f2p_hbm.at[0, pl.ds(j * h_tile, h_tile + ph - 1)], scratch, sem
+        )
+        cp.start()
+        cp.wait()
+        f1 = f1_ref[0]  # (TH, W, C)
+        for i in range(ph):
+            for k in range(pw):
+                f2s = scratch[i : i + h_tile, k : k + w, :]
+                out_ref[0, :, :, i * pw + k] = jnp.sum(
+                    (f1 * f2s).astype(jnp.float32), axis=-1
+                ).astype(out_ref.dtype)
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((h_tile + ph - 1, w + pw - 1, c), f1_ref.dtype),
+        sem=pltpu.SemaphoreType.DMA,
+    )
+
+
+def correlation2d_pallas(
+    f1: jnp.ndarray,
+    f2: jnp.ndarray,
+    patch: Tuple[int, int],
+    normalize: bool = True,
+    h_tile: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """2-D patch correlation; NHWC in, (B,H,W,ph*pw) out. The f2 halo tile
+    is staged HBM->VMEM with an explicit async copy so all ph*pw shifts read
+    on-chip memory."""
+    b, h, w, c = f1.shape
+    ph, pw = patch
+    rh, rw = ph // 2, pw // 2
+    f2p = jnp.pad(f2, ((0, 0), (rh, rh), (rw, rw), (0, 0)))
+    h_tile = min(h_tile, h)
+    while h % h_tile != 0:
+        h_tile -= 1
+    grid = (b, h // h_tile)
+    kernel = functools.partial(
+        _corr2d_kernel, ph=ph, pw=pw, h_tile=h_tile, w=w, c=c
+    )
+
+    if _HAS_PLTPU and not interpret:
+        mem_vmem = pltpu.VMEM
+        mem_any = pltpu.ANY
+        kwargs = {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100))}
+    else:
+        mem_vmem = mem_any = None
+        kwargs = {}
+
+    def spec(shape, index_map, mem):
+        if mem is None:
+            return pl.BlockSpec(shape, index_map)
+        return pl.BlockSpec(shape, index_map, memory_space=mem)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, ph * pw), f1.dtype),
+        grid=grid,
+        in_specs=[
+            spec((1, h_tile, w, c), lambda i, j: (i, j, 0, 0), mem_vmem),
+            # full padded f2 for this batch element, left in HBM/ANY
+            spec((1, h + ph - 1, w + pw - 1, c), lambda i, j: (i, 0, 0, 0),
+                 mem_any),
+        ],
+        out_specs=spec((1, h_tile, w, ph * pw), lambda i, j: (i, j, 0, 0),
+                       mem_vmem),
+        interpret=interpret,
+        **kwargs,
+    )(f1, f2p)
+    if normalize:
+        out = out / jnp.asarray(c, out.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # differentiable 1-D correlation: Pallas forward + lax backward
 # ---------------------------------------------------------------------------
 
@@ -184,6 +272,50 @@ def _corr1d_vjp(pw, res, g):
 _corr1d.defvjp(_corr1d_fwd, _corr1d_vjp)
 
 
+def _corr2d_bwd_lax(f1, f2, g, patch):
+    """Analytic VJP of the 2-D correlation (same derivation as 1-D, both
+    axes)."""
+    ph, pw = patch
+    b, h, w, c = f1.shape
+    rh, rw = ph // 2, pw // 2
+    f2p = jnp.pad(f2, ((0, 0), (rh, rh), (rw, rw), (0, 0)))
+    df1 = jnp.zeros_like(f1)
+    df2 = jnp.zeros_like(f2)
+    for i in range(ph):
+        for j in range(pw):
+            gd = g[..., i * pw + j : i * pw + j + 1]
+            df1 = df1 + gd * jax.lax.dynamic_slice(
+                f2p, (0, i, j, 0), (b, h, w, c)
+            )
+            s = gd * f1  # lands at (y+i-rh, x+j-rw) in f2 coords
+            oy, ox = i - rh, j - rw
+            ys = slice(max(0, oy), h + min(0, oy))
+            xs = slice(max(0, ox), w + min(0, ox))
+            ys_src = slice(max(0, -oy), h + min(0, -oy))
+            xs_src = slice(max(0, -ox), w + min(0, -ox))
+            df2 = df2.at[:, ys, xs, :].add(s[:, ys_src, xs_src, :])
+    return df1, df2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _corr2d(f1, f2, patch: Tuple[int, int]):
+    if _HAS_PLTPU and jax.default_backend() == "tpu":
+        return correlation2d_pallas(f1, f2, patch, normalize=False)
+    return correlation_lax(f1, f2, patch)
+
+
+def _corr2d_fwd(f1, f2, patch):
+    return _corr2d(f1, f2, patch), (f1, f2)
+
+
+def _corr2d_vjp(patch, res, g):
+    f1, f2 = res
+    return _corr2d_bwd_lax(f1, f2, g, patch)
+
+
+_corr2d.defvjp(_corr2d_fwd, _corr2d_vjp)
+
+
 # ---------------------------------------------------------------------------
 # public entry
 # ---------------------------------------------------------------------------
@@ -196,9 +328,13 @@ def correlation(
     normalize: bool = False,
     use_pallas: bool = True,
 ) -> jnp.ndarray:
-    """Dispatch: Pallas (with analytic custom_vjp) for 1-D patches on TPU,
-    lax otherwise."""
+    """Dispatch: Pallas (with analytic custom_vjp) on TPU, lax otherwise."""
     ph, pw = patch
     if use_pallas and ph == 1 and not normalize:
         return _corr1d(f1, f2, pw)
+    if use_pallas and ph > 1:
+        out = _corr2d(f1, f2, patch)
+        if normalize:
+            out = out / jnp.asarray(f1.shape[-1], out.dtype)
+        return out
     return correlation_lax(f1, f2, patch, normalize=normalize)

@@ -228,3 +228,37 @@ def test_upsampled_soft_argmin_matches_naive(rng):
     got = upsampled_soft_argmin(cost, maxd, (oh, ow), chunk=8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_correlation2d_pallas_interpret_matches_lax(rng):
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.ops.correlation import (
+        correlation2d_pallas,
+    )
+
+    f1 = rng.standard_normal((2, 8, 12, 6), dtype=np.float32)
+    f2 = rng.standard_normal((2, 8, 12, 6), dtype=np.float32)
+    ref = _corr_numpy(f1, f2, (5, 5)) / 6.0
+    got = np.asarray(
+        correlation2d_pallas(jnp.asarray(f1), jnp.asarray(f2), (5, 5),
+                             normalize=True, h_tile=4, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_correlation2d_custom_vjp_matches_lax_grad(rng):
+    f1 = jnp.asarray(rng.standard_normal((1, 6, 8, 4), dtype=np.float32))
+    f2 = jnp.asarray(rng.standard_normal((1, 6, 8, 4), dtype=np.float32))
+    g = jnp.asarray(rng.standard_normal((1, 6, 8, 9), dtype=np.float32))
+
+    def loss_custom(a, b):
+        return jnp.sum(ops.correlation(a, b, (3, 3), normalize=True) * g)
+
+    def loss_lax(a, b):
+        return jnp.sum(
+            ops.correlation(a, b, (3, 3), normalize=True, use_pallas=False) * g
+        )
+
+    g1c, g2c = jax.grad(loss_custom, argnums=(0, 1))(f1, f2)
+    g1l, g2l = jax.grad(loss_lax, argnums=(0, 1))(f1, f2)
+    np.testing.assert_allclose(np.asarray(g1c), np.asarray(g1l), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2c), np.asarray(g2l), atol=1e-5)
