@@ -142,27 +142,30 @@ def correlation1d_pallas(
 
 
 def _corr2d_kernel(f1_ref, f2p_hbm, out_ref, *, ph, pw, h_tile, w, c):
-    """Grid (B, H_tiles). f1 block (1,TH,W,C) in VMEM; f2p stays in HBM and
-    the (TH+ph-1, W+pw-1, C) halo slice is DMA'd per tile."""
+    """Grid (B, H_tiles). f1 block (1,TH,W,C) in VMEM; f2p stays whole in
+    HBM (ANY space requires full-array blocks) and the batch + halo slice
+    (TH+ph-1, W+pw-1, C) is DMA'd per tile."""
+    b_idx = pl.program_id(0)
     j = pl.program_id(1)
 
     def body(scratch, sem):
         cp = pltpu.make_async_copy(
-            f2p_hbm.at[0, pl.ds(j * h_tile, h_tile + ph - 1)], scratch, sem
+            f2p_hbm.at[pl.ds(b_idx, 1), pl.ds(j * h_tile, h_tile + ph - 1)],
+            scratch, sem,
         )
         cp.start()
         cp.wait()
         f1 = f1_ref[0]  # (TH, W, C)
         for i in range(ph):
             for k in range(pw):
-                f2s = scratch[i : i + h_tile, k : k + w, :]
+                f2s = scratch[0, i : i + h_tile, k : k + w, :]
                 out_ref[0, :, :, i * pw + k] = jnp.sum(
                     (f1 * f2s).astype(jnp.float32), axis=-1
                 ).astype(out_ref.dtype)
 
     pl.run_scoped(
         body,
-        scratch=pltpu.VMEM((h_tile + ph - 1, w + pw - 1, c), f1_ref.dtype),
+        scratch=pltpu.VMEM((1, h_tile + ph - 1, w + pw - 1, c), f1_ref.dtype),
         sem=pltpu.SemaphoreType.DMA,
     )
 
@@ -179,8 +182,16 @@ def correlation2d_pallas(
     is staged HBM->VMEM with an explicit async copy so all ph*pw shifts read
     on-chip memory."""
     b, h, w, c = f1.shape
+    c_orig = c
     ph, pw = patch
     rh, rw = ph // 2, pw // 2
+    # pad channels to the 128-lane tile (avoids Mosaic HBM-slice issues and
+    # wasted lanes); zero channels contribute nothing to the dot products
+    c_pad = (-c) % 128
+    if c_pad:
+        f1 = jnp.pad(f1, ((0, 0), (0, 0), (0, 0), (0, c_pad)))
+        f2 = jnp.pad(f2, ((0, 0), (0, 0), (0, 0), (0, c_pad)))
+        c = c + c_pad
     f2p = jnp.pad(f2, ((0, 0), (rh, rh), (rw, rw), (0, 0)))
     h_tile = min(h_tile, h)
     while h % h_tile != 0:
@@ -210,8 +221,8 @@ def correlation2d_pallas(
         grid=grid,
         in_specs=[
             spec((1, h_tile, w, c), lambda i, j: (i, j, 0, 0), mem_vmem),
-            # full padded f2 for this batch element, left in HBM/ANY
-            spec((1, h + ph - 1, w + pw - 1, c), lambda i, j: (i, 0, 0, 0),
+            # whole padded f2 left in HBM/ANY (full-array block, trivial map)
+            spec((b, h + ph - 1, w + pw - 1, c), lambda i, j: (0, 0, 0, 0),
                  mem_any),
         ],
         out_specs=spec((1, h_tile, w, ph * pw), lambda i, j: (i, j, 0, 0),
@@ -220,7 +231,7 @@ def correlation2d_pallas(
         **kwargs,
     )(f1, f2p)
     if normalize:
-        out = out / jnp.asarray(c, out.dtype)
+        out = out / jnp.asarray(c_orig, out.dtype)
     return out
 
 
