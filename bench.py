@@ -18,7 +18,7 @@ import os
 import sys
 import time
 
-H, W, BATCH = 512, 960, int(os.environ.get("PMT_BENCH_BATCH", "8"))
+H, W, BATCH = 512, 960, int(os.environ.get("PMT_BENCH_BATCH", "16"))
 WARMUP, ITERS = 2, 8
 
 
