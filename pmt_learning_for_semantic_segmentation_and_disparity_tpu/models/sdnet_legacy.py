@@ -140,9 +140,12 @@ class DSNet(nn.Module):
 
 
 class DSNetV2(nn.Module):
-    """dsnetv2 (dsnet_t2.py:402-616): dsnet skeleton with the segNet helper
-    as head 1, the 1-D correlation switch (:418-423) and a 4-channel edge
-    input option."""
+    """dsnetv2 (dsnet_t2.py:402-616): the full dsnet cascade (refined seg2 +
+    refined disp2 heads, residual head mixing) with the segNet helper as
+    head 1, the correlation patch switch and the 4-channel edge input.
+    Quirks reproduced: the correlation is channel-normalized for BOTH patch
+    types (:467-469), and the 0.9/0.1 mix blends a log-softmax seg2 with
+    head 1's raw logits (:560-562 — segNet does not log-softmax)."""
 
     cfg: ModelConfig
     labels: int = 2
@@ -173,10 +176,9 @@ class DSNetV2(nn.Module):
         x = jnp.concatenate([a4, b4], axis=-1)
         x, x1, seg1 = SegNetHead(self.labels, axis_name=ax,
                                  name="segNet")(x, full_hw, xleft0, train)
-        seg1 = jax.nn.log_softmax(seg1, axis=-1)
 
-        y = correlation(a_py2, b_py2, patch,
-                        normalize=(m.corr_type != "1dcorr"))
+        # normalized for both patch types (:467-469)
+        y = correlation(a_py2, b_py2, patch, normalize=True)
         y = nn.relu(ConvBN(128, 1, batchnorm=False, axis_name=ax,
                            name="corrConv2d")(y, train))
         y1 = Conv2DownUp(128, 3, axis_name=ax, name="cdu3")(x1, train)
@@ -184,6 +186,7 @@ class DSNetV2(nn.Module):
         y = jnp.concatenate([y1, y], axis=-1)
         y = Conv2DownUp(64, 3, axis_name=ax, name="cdu4")(y, train)
 
+        # disp head 1
         y2 = upsample_nearest(y, 8)
         xl2 = resize_bilinear(xleft2, (y2.shape[1], y2.shape[2]))
         d = jnp.concatenate([y2, xl2], axis=-1)
@@ -194,27 +197,61 @@ class DSNetV2(nn.Module):
         d = ConvOut(1, 5, name="dispoutConv")(d)
         disp1 = resize_bilinear(d, full_hw)
 
-        # refined seg head over the /4 pyramid concat
-        s2 = jnp.concatenate([a_py1, b_py1], axis=-1)
-        s2 = nn.relu(ConvBN(128, 1, batchnorm=False, axis_name=ax,
-                            name="conv1d_4")(s2, train))
-        s2 = Conv2DownUp(64, 3, axis_name=ax, name="cdu6")(s2, train)
-        y3 = resize_nearest(y, (s2.shape[1], s2.shape[2]))
-        x3 = Conv2DownUp(64, 3, axis_name=ax, name="cdu8")(x1, train)
-        x3 = resize_nearest(x3, (s2.shape[1], s2.shape[2]))
-        s2 = jnp.concatenate([s2, x3, y3], axis=-1)
-        s2 = Conv2DownUp(64, 3, axis_name=ax, name="cdu10")(s2, train)
-        s2 = resize_nearest(s2, (xleft1.shape[1], xleft1.shape[2]))
-        s2 = jnp.concatenate([s2, xleft1], axis=-1)
-        s2 = nn.relu(ConvBN(32, 1, batchnorm=False, axis_name=ax,
-                            name="conv1d_5")(s2, train))
-        s2 = Conv2DownUp(32, 3, last_layer=False, axis_name=ax,
-                         name="cdu11")(s2, train)
-        s2 = ConvOut(self.labels, 3, name="cdu11_out")(s2)
+        # refined seg head (dsnet cascade, :531-562)
+        xx = upsample_nearest(x, 4)
+        y3 = upsample_nearest(y, 2)
+        xx = resize_bilinear(xx, (y3.shape[1], y3.shape[2]))
+        xx = jnp.concatenate([xx, y3], axis=-1)
+        xx = nn.relu(ConvBN(64, 1, batchnorm=False, axis_name=ax,
+                            name="conv1d_3")(xx, train))
+        xx = Conv2DownUp(64, 5, axis_name=ax, name="cdu6")(xx, train)
+        xx = resize_bilinear(xx, (a1.shape[1], a1.shape[2]))
+        xx = jnp.concatenate([xx, a1], axis=-1)
+        xx = nn.relu(ConvBN(64, 1, batchnorm=False, axis_name=ax,
+                            name="conv1d_4")(xx, train))
+        xx = nn.relu(DeconvBN(32, 3, stride=2, axis_name=ax,
+                              name="deconv_ba1")(xx, train))
+        x3 = xx
+        xx = resize_bilinear(xx, (a0.shape[1], a0.shape[2]))
+        xx = jnp.concatenate([xx, a0], axis=-1)
+        xx = nn.relu(ConvBN(32, 1, batchnorm=False, axis_name=ax,
+                            name="conv1d_5")(xx, train))
+        xx = nn.relu(DeconvBN(32, 3, stride=2, axis_name=ax,
+                              name="deconv_ba2")(xx, train))
+        xl1 = resize_bilinear(xleft1, (xx.shape[1], xx.shape[2]))
+        xx = jnp.concatenate([xx, xl1], axis=-1)
+        xx = nn.relu(ConvBN(32, 1, batchnorm=False, axis_name=ax,
+                            name="conv1d_6")(xx, train))
+        s2 = Conv2DownUp(32, 5, last_layer=False, axis_name=ax,
+                         name="cdu7")(xx, train)
+        s2 = ConvOut(self.labels, 5, name="branchConv")(s2)
         s2 = jax.nn.log_softmax(s2, axis=-1)
-        seg2 = 0.9 * s2 + 0.1 * seg1
+        s2 = resize_bilinear(s2, full_hw)
+        seg2 = 0.9 * s2 + 0.1 * seg1  # raw-logit mix quirk (:562)
 
-        return {"seg1": seg1, "disp1": disp1, "seg2": seg2, "disp2": disp1}
+        # refined disp head (:564-585)
+        y4 = jnp.concatenate([a_py0, b_py0], axis=-1)
+        y4 = nn.relu(ConvBN(128, 1, batchnorm=False, axis_name=ax,
+                            name="conv1d_9")(y4, train))
+        yy = upsample_nearest(y, 4)
+        yy = resize_bilinear(yy, (y4.shape[1], y4.shape[2]))
+        yy = jnp.concatenate([y4, yy], axis=-1)
+        y5 = Conv2DownUp(64, 3, axis_name=ax, name="cdu8")(x3, train)
+        yy = resize_bilinear(yy, (y5.shape[1], y5.shape[2]))
+        yy = jnp.concatenate([y5, yy], axis=-1)
+        yy = Conv2DownUp(64, 3, axis_name=ax, name="cdu9")(yy, train)
+        yy = upsample_nearest(yy, 2)
+        xl3 = resize_bilinear(xleft3, (yy.shape[1], yy.shape[2]))
+        d2 = jnp.concatenate([yy, xl3], axis=-1)
+        d2 = nn.relu(ConvBN(64, 1, batchnorm=False, axis_name=ax,
+                            name="conv1d_8")(d2, train))
+        d2 = Conv2DownUp(64, 5, last_layer=False, axis_name=ax,
+                         name="cdu10")(d2, train)
+        d2 = ConvOut(1, 5, name="cdu10_out")(d2)
+        d2 = resize_bilinear(d2, full_hw)
+        disp2 = 0.8 * d2 + 0.2 * disp1
+
+        return {"seg1": seg1, "disp1": disp1, "seg2": seg2, "disp2": disp2}
 
 
 @MODELS.register("sdnet")
