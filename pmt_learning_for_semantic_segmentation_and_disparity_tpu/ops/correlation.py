@@ -22,8 +22,14 @@ Two implementations:
                           f1 tile and the W-padded f2 tile into VMEM once and
                           computes all ``pw`` shifts from on-chip memory,
                           avoiding ``pw`` HBM re-reads of f2.
+* ``correlation2d_pallas`` — 17x17 patch variant; f2 stays in HBM and each
+                          tile's halo slice is staged into VMEM with an
+                          explicit async copy, then all 289 shifts read
+                          on-chip memory.
 
-``correlation`` picks the best available implementation.
+``correlation`` dispatches (Pallas on TPU, lax elsewhere) and carries
+analytic ``custom_vjp``s so the kernels are the forward path in training
+too. Both validated bit-exact against the lax reference on v5e.
 """
 from __future__ import annotations
 
