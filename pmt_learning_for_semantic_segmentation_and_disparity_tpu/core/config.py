@@ -160,6 +160,11 @@ class ModelConfig:
     use_att: bool = True
     hanet: bool = False
     multaskloss: int = 0  # 0 | 1 | 2
+    # HANet position-encoding variants (models_hanet/PosEmbedding.py:49-120):
+    # is_encoding=1 frozen sinusoid, 0 learned embedding; pos_noise jitters
+    # the row index during training.
+    hanet_is_encoding: int = 1
+    hanet_pos_noise: float = 0.0
     conv_deconv_out: int = 0  # 0 | 1 | 2
     dropout: float = 0.0
     ablation: Tuple[str, ...] = ()  # 'no_dec1' | 'no_dec2' | 'no_dec3'

@@ -73,12 +73,22 @@ class StereoSegDataset:
 
     def load_raw(self, idx: int) -> Dict[str, np.ndarray]:
         if self._file is not None:
+            # hdf5 source (utilTorchDataLoader.py:139-144). Two reference
+            # bugs fixed here: (a) the reference divides left/right by 255
+            # at load AND again at normalize time (:140 vs :256), so its
+            # hdf5 images were doubly scaled — we keep the 0-255 convention
+            # of the file path and normalize exactly once in __getitem__;
+            # (b) 'edges' is kept loading the 'disp' dataset, mirroring the
+            # reference's (intentional-looking) reuse at :144.
+            disp = self._file["disp"][idx].astype(np.float32)
+            if disp.ndim == 2:
+                disp = disp[..., None]
             return {
-                "left": self._file["left"][idx].astype(np.float32) / 255.0,
-                "right": self._file["right"][idx].astype(np.float32) / 255.0,
+                "left": self._file["left"][idx].astype(np.float32),
+                "right": self._file["right"][idx].astype(np.float32),
                 "seg": self._file["seg"][idx].astype(np.float32),
-                "disp": self._file["disp"][idx].astype(np.float32)[..., None],
-                "edges": self._file["disp"][idx].astype(np.float32)[..., None],
+                "disp": disp,
+                "edges": disp.copy(),
             }
         left = io.read_rgb(self.x_files[idx][0])
         right = io.read_rgb(self.x_files[idx][1])
@@ -152,7 +162,13 @@ class StereoSegDataset:
             h, w = sample["left"].shape[:2]
             sample["seg"] = np.zeros((h, w, self.n_labels + 1), np.float32)
             sample["disp"] = np.zeros((h, w, 1), np.float32)
-            sample["meta"] = list(self.x_files[idx])
+            sample["meta"] = (
+                [self.hdf5] if self._file is not None
+                else list(self.x_files[idx])
+            )
+        elif self._file is not None:
+            # hdf5 metadata is the container path (utilTorchDataLoader.py:266-267)
+            sample["meta"] = [self.hdf5]
         else:
             sample["meta"] = [self.y_files[idx][0], self.y_files[idx][1]]
         return sample

@@ -29,9 +29,15 @@ def _stack(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
 
 def pad_to_bucket(batch: Dict[str, np.ndarray], bucket_hw) -> Dict[str, np.ndarray]:
     """Pad spatial dims up to a static eval bucket (XLA needs fixed shapes;
-    the reference's 'crop [0,0] = full image' path is dynamic)."""
+    the reference's 'crop [0,0] = full image' path is dynamic).
+
+    Adds a ``pad_mask`` (B,bh,bw,1) float map — 1 on real pixels, 0 on the
+    padded border — which the eval metrics use to exclude padding from the
+    report (the reference evaluates at native size, so padding must be
+    metrically invisible)."""
     bh, bw = bucket_hw
     out = {}
+    mask = None
     for k, v in batch.items():
         if k == "meta" or not isinstance(v, np.ndarray) or v.ndim != 4:
             out[k] = v
@@ -40,9 +46,14 @@ def pad_to_bucket(batch: Dict[str, np.ndarray], bucket_hw) -> Dict[str, np.ndarr
         if h > bh or w > bw:
             v = v[:, :bh, :bw]
             h, w = v.shape[1:3]
+        if mask is None:
+            mask = np.zeros((v.shape[0], bh, bw, 1), np.float32)
+            mask[:, :h, :w] = 1.0
         if (h, w) != (bh, bw):
             v = np.pad(v, ((0, 0), (0, bh - h), (0, bw - w), (0, 0)))
         out[k] = v
+    if mask is not None:
+        out["pad_mask"] = mask
     return out
 
 

@@ -27,18 +27,41 @@ class MetricAccumulator:
         self.rows: List[Dict[str, float]] = []
         self.conf1: Optional[np.ndarray] = None
         self.conf2: Optional[np.ndarray] = None
+        self._err3px_total = 0.0
+        self._disp_valid_total = 0.0
 
     def update(self, metrics: Dict) -> Dict[str, float]:
+        """Ingest one per-image metric row (one reference eval step).
+
+        Derives the reference's max-of-heads columns: avIoU =
+        max(mIoU(conf1), mIoU(conf2)) and best-head P/R/F1/BF1
+        (test_model torch_implementation.py:497-511)."""
         row = {}
+        confs = {}
         for k, v in metrics.items():
             if k in ("conf1", "conf2"):
-                c = np.asarray(v)
+                c = np.asarray(v, np.float64)
+                confs[k] = c
                 if k == "conf1":
                     self.conf1 = c if self.conf1 is None else self.conf1 + c
                 else:
                     self.conf2 = c if self.conf2 is None else self.conf2 + c
             else:
                 row[k] = float(np.asarray(v))
+        if len(confs) == 2:
+            miou1, _ = mean_iou(confs["conf1"])
+            miou2, _ = mean_iou(confs["conf2"])
+            row["av_iou"] = max(miou1, miou2)
+        if "pixel_acc1" in row and "pixel_acc2" in row:
+            row["pixel_acc_mean"] = (row["pixel_acc1"] + row["pixel_acc2"]) / 2
+        for a, b, name in (("prec1", "prec2", "prec_best"),
+                           ("recall1", "recall2", "recall_best"),
+                           ("f1_1", "f1_2", "f1_best"),
+                           ("bf1_1", "bf1_2", "bf1_best")):
+            if a in row and b in row:
+                row[name] = max(row[a], row[b])
+        self._err3px_total += row.get("disp_err3px", 0.0)
+        self._disp_valid_total += row.get("disp_valid", 0.0)
         self.rows.append(row)
         return row
 
@@ -72,6 +95,10 @@ class MetricAccumulator:
             if class_names is not None:
                 for name, v in zip(class_names, iou2):
                     out[f"iou_{name}"] = float(v)
+        if self._disp_valid_total > 0:
+            # pooled >3px rate — the reference's Derr / test_avgMAE2
+            # (Total_MAE[2]/Total_MAE[3], torch_implementation.py:582)
+            out["derr"] = self._err3px_total / self._disp_valid_total
         return out
 
     # -- tabulate-style reports (printResultsMetrics) ------------------------

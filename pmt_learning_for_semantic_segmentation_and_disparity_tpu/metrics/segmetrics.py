@@ -38,10 +38,13 @@ def pixel_accuracy_from_preds(
     pred_labels: jnp.ndarray,
     gt_labels: jnp.ndarray,
     n_labels: int,
+    pixel_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """SegAccuracyNp (utilTorchLoss.py:221-236): accuracy over pixels whose
     gt label != n_labels (the ignore channel argmax)."""
     mask = (gt_labels != n_labels).astype(jnp.float32)
+    if pixel_mask is not None:
+        mask = mask * pixel_mask
     acc = (pred_labels == gt_labels).astype(jnp.float32) * mask
     return jnp.sum(acc) / jnp.maximum(jnp.sum(mask), 1.0)
 
@@ -97,24 +100,35 @@ class SegBatchMetrics(NamedTuple):
 
 
 def seg_batch_metrics(
-    logits: jnp.ndarray, gt_full: jnp.ndarray, n_labels: int
+    logits: jnp.ndarray, gt_full: jnp.ndarray, n_labels: int,
+    pixel_mask: Optional[jnp.ndarray] = None,
 ) -> SegBatchMetrics:
     """All per-batch seg metrics in one fused device computation.
 
     logits: (B,H,W,C_fg); gt_full: (B,H,W,C_full) one-hot. The binary
     branch metrics follow GetSegMetricsNp's roses convention: channel 1
     thresholded at logit > 0 (utilTorchLoss.py:263-266).
+
+    pixel_mask: optional (B,H,W) 1/0 map of REAL pixels — excludes the
+    spatial padding added by pad_to_bucket from every metric (the
+    reference evaluates at native image size).
     """
     pred = jnp.argmax(logits, axis=-1)
     gt = jnp.argmax(gt_full, axis=-1)
-    conf = confusion_matrix(pred, gt, n_labels, valid=(gt != n_labels))
-    acc = pixel_accuracy_from_preds(pred, gt, n_labels)
+    valid = (gt != n_labels).astype(jnp.float32)
+    if pixel_mask is not None:
+        valid = valid * pixel_mask
+    conf = confusion_matrix(pred, gt, n_labels, valid=valid)
+    acc = pixel_accuracy_from_preds(pred, gt, n_labels, pixel_mask)
     if logits.shape[-1] > 1:
         pred_branch = (logits[..., 1] > 0).astype(jnp.float32)
         gt_branch = (gt_full[..., 1] == 1.0).astype(jnp.float32)
     else:
         pred_branch = (logits[..., 0] > 0).astype(jnp.float32)
         gt_branch = (gt_full[..., 0] == 1.0).astype(jnp.float32)
+    if pixel_mask is not None:
+        pred_branch = pred_branch * pixel_mask
+        gt_branch = gt_branch * pixel_mask
     prec, rec, f1 = branch_prf1(pred_branch, gt_branch)
     branch_mask = jnp.maximum(gt_branch, pred_branch)
     _, _, bf1 = branch_prf1(pred_branch, gt_branch, mask=branch_mask)

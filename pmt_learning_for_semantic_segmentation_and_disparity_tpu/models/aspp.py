@@ -12,7 +12,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.resize import resize_bilinear_align_corners
-from .blocks import he_fan_out
+from .blocks import bn_train_mode, he_fan_out
 
 _DILATIONS = {32: (1, 2, 6, 12), 16: (1, 6, 12, 18), 8: (1, 12, 24, 36)}
 
@@ -29,7 +29,7 @@ class ASPP(nn.Module):
 
         def bn(name):
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                use_running_average=not bn_train_mode(self, train), momentum=0.9, epsilon=1e-5,
                 axis_name=self.axis_name, dtype=None, name=name,
             )
 

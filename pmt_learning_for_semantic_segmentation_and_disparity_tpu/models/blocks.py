@@ -36,6 +36,20 @@ he_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 Dtype = Any
 
 
+def bn_train_mode(module: nn.Module, train: bool) -> bool:
+    """BatchNorm training mode requires BOTH train=True and a mutable
+    ``batch_stats`` collection.
+
+    Running ``apply(..., train=True)`` WITHOUT ``mutable=['batch_stats']``
+    therefore puts exactly the BN layers in eval mode (running stats, no
+    stat update) while dropout stays live — the reference's ``freeze_bn``
+    and deeplab BN-eval semantics, which ``.eval()`` only the BN modules
+    (networkOutput torch_implementation.py:236-241, train_model :337-340)
+    rather than the whole model.
+    """
+    return train and module.is_mutable_collection("batch_stats")
+
+
 class ConvBN(nn.Module):
     """conv('SAME') [+BN] [+ReLU] [+dropout] (dsnet_t2.py:16-46)."""
 
@@ -66,7 +80,7 @@ class ConvBN(nn.Module):
         )(x)
         if self.batchnorm:
             x = nn.BatchNorm(
-                use_running_average=not train,
+                use_running_average=not bn_train_mode(self, train),
                 momentum=0.9,
                 epsilon=1e-5,
                 axis_name=self.axis_name,
@@ -121,7 +135,7 @@ class DeconvBN(nn.Module):
             )(x)
         if self.batchnorm:
             x = nn.BatchNorm(
-                use_running_average=not train,
+                use_running_average=not bn_train_mode(self, train),
                 momentum=0.9,
                 epsilon=1e-5,
                 axis_name=self.axis_name,

@@ -25,12 +25,12 @@ import jax.numpy as jnp
 from ..core.registry import MODELS
 from ..ops.correlation import correlation
 from ..ops.resize import resize_bilinear, resize_bilinear_align_corners
-from .blocks import he_fan_out
+from .blocks import bn_train_mode, he_fan_out
 
 
-def _bn(train, axis_name, name, eps=1e-5):
+def _bn(mod, train, axis_name, name, eps=1e-5):
     return nn.BatchNorm(
-        use_running_average=not train, momentum=0.9, epsilon=eps,
+        use_running_average=not bn_train_mode(mod, train), momentum=0.9, epsilon=eps,
         axis_name=axis_name, dtype=None, name=name,
     )
 
@@ -58,12 +58,12 @@ class SeparableConv(nn.Module):
             feature_group_count=c, use_bias=False, kernel_init=he_fan_out,
             name="depthwise",
         )(x)
-        x = _bn(train, self.axis_name, "bn_depth", self.bn_eps)(x)
+        x = _bn(self, train, self.axis_name, "bn_depth", self.bn_eps)(x)
         if not self.relu_first:
             x = nn.relu(x)
         x = nn.Conv(self.features, (1, 1), use_bias=False,
                     kernel_init=he_fan_out, name="pointwise")(x)
-        x = _bn(train, self.axis_name, "bn_point", self.bn_eps)(x)
+        x = _bn(self, train, self.axis_name, "bn_point", self.bn_eps)(x)
         if not self.relu_first:
             x = nn.relu(x)
         return x
@@ -93,7 +93,7 @@ class XceptionBlock(nn.Module):
             sc = nn.Conv(self.channels[3], (1, 1), strides=(self.stride,) * 2,
                          use_bias=False, kernel_init=he_fan_out,
                          name="skip_conv")(x)
-            sc = _bn(train, self.axis_name, "skip_bn", self.bn_eps)(sc)
+            sc = _bn(self, train, self.axis_name, "skip_bn", self.bn_eps)(sc)
             out = res + sc
         elif self.skip == "sum":
             out = res + x
@@ -124,10 +124,10 @@ class Xception65(nn.Module):
 
         x = nn.Conv(32, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2,
                     use_bias=False, kernel_init=he_fan_out, name="conv1")(x)
-        x = nn.relu(_bn(train, ax, "bn1", eps)(x))
+        x = nn.relu(_bn(self, train, ax, "bn1", eps)(x))
         x = nn.Conv(64, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
                     kernel_init=he_fan_out, name="conv2")(x)
-        x = nn.relu(_bn(train, ax, "bn2", eps)(x))
+        x = nn.relu(_bn(self, train, ax, "bn2", eps)(x))
 
         x = XceptionBlock((64, 128, 128, 128), stride=2, axis_name=ax,
                           bn_eps=eps, name="block1")(x, train)
@@ -178,20 +178,20 @@ class MobileNetV2Encoder(nn.Module):
             if ratio != 1:
                 y = nn.Conv(mid, (1, 1), use_bias=False,
                             kernel_init=he_fan_out, name=f"{name}_expand")(y)
-                y = jnp.minimum(nn.relu(_bn(train, ax, f"{name}_ebn", eps)(y)), 6.0)
+                y = jnp.minimum(nn.relu(_bn(self, train, ax, f"{name}_ebn", eps)(y)), 6.0)
             y = nn.Conv(mid, (3, 3), strides=(stride,) * 2,
                         kernel_dilation=(dil,) * 2, padding=[(dil, dil)] * 2,
                         feature_group_count=mid, use_bias=False,
                         kernel_init=he_fan_out, name=f"{name}_dw")(y)
-            y = jnp.minimum(nn.relu(_bn(train, ax, f"{name}_dbn", eps)(y)), 6.0)
+            y = jnp.minimum(nn.relu(_bn(self, train, ax, f"{name}_dbn", eps)(y)), 6.0)
             y = nn.Conv(cout, (1, 1), use_bias=False, kernel_init=he_fan_out,
                         name=f"{name}_proj")(y)
-            y = _bn(train, ax, f"{name}_pbn", eps)(y)
+            y = _bn(self, train, ax, f"{name}_pbn", eps)(y)
             return x + y if skip else y
 
         x = nn.Conv(32, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2,
                     use_bias=False, kernel_init=he_fan_out, name="stem")(x)
-        x = jnp.minimum(nn.relu(_bn(train, ax, "stem_bn", eps)(x)), 6.0)
+        x = jnp.minimum(nn.relu(_bn(self, train, ax, "stem_bn", eps)(x)), 6.0)
         cfg = [  # (cin, cout, stride, dil, ratio, skip) — mobilenet.py:61-77
             (32, 16, 1, 1, 1, False), (16, 24, 2, 1, 6, False),
             (24, 24, 1, 1, 6, True), (24, 32, 2, 1, 6, False),
@@ -222,11 +222,11 @@ class ASPPDeeplab(nn.Module):
         pool = jnp.mean(x, axis=(1, 2), keepdims=True)
         pool = nn.Conv(self.features, (1, 1), use_bias=False,
                        kernel_init=he_fan_out, name="gap_conv")(pool)
-        pool = nn.relu(_bn(train, ax, "gap_bn")(pool))
+        pool = nn.relu(_bn(self, train, ax, "gap_bn")(pool))
         pool = resize_bilinear_align_corners(pool, (x.shape[1], x.shape[2]))
         a0 = nn.Conv(self.features, (1, 1), use_bias=False,
                      kernel_init=he_fan_out, name="aspp0_conv")(x)
-        a0 = nn.relu(_bn(train, ax, "aspp0_bn")(a0))
+        a0 = nn.relu(_bn(self, train, ax, "aspp0_bn")(a0))
         outs = [pool, a0]
         for i, d in enumerate(dil):
             outs.append(
@@ -236,7 +236,7 @@ class ASPPDeeplab(nn.Module):
         y = jnp.concatenate(outs, axis=-1)
         y = nn.Conv(self.features, (1, 1), use_bias=False,
                     kernel_init=he_fan_out, name="proj")(y)
-        y = nn.relu(_bn(train, ax, "proj_bn")(y))
+        y = nn.relu(_bn(self, train, ax, "proj_bn")(y))
         return nn.Dropout(0.1, deterministic=not train)(y)
 
 
@@ -251,15 +251,15 @@ class MobileASPP(nn.Module):
         pool = jnp.mean(x, axis=(1, 2), keepdims=True)
         pool = nn.Conv(256, (1, 1), use_bias=False, kernel_init=he_fan_out,
                        name="gap_conv")(pool)
-        pool = nn.relu(_bn(train, ax, "gap_bn")(pool))
+        pool = nn.relu(_bn(self, train, ax, "gap_bn")(pool))
         pool = resize_bilinear_align_corners(pool, (x.shape[1], x.shape[2]))
         a0 = nn.Conv(256, (1, 1), use_bias=False, kernel_init=he_fan_out,
                      name="aspp0_conv")(x)
-        a0 = nn.relu(_bn(train, ax, "aspp0_bn")(a0))
+        a0 = nn.relu(_bn(self, train, ax, "aspp0_bn")(a0))
         y = jnp.concatenate([pool, a0], axis=-1)
         y = nn.Conv(256, (1, 1), use_bias=False, kernel_init=he_fan_out,
                     name="proj")(y)
-        y = nn.relu(_bn(train, ax, "proj_bn")(y))
+        y = nn.relu(_bn(self, train, ax, "proj_bn")(y))
         return nn.Dropout(0.1, deterministic=not train)(y)
 
 
@@ -279,7 +279,7 @@ class SPPDecoder(nn.Module):
         )
         low = nn.Conv(self.reduced, (1, 1), use_bias=False,
                       kernel_init=he_fan_out, name="low_conv")(low_level_feat)
-        low = nn.relu(_bn(train, ax, "low_bn")(low))
+        low = nn.relu(_bn(self, train, ax, "low_bn")(low))
         middle = jnp.concatenate([x, low], axis=-1)
         if self.concat_prev:
             assert other_feat is not None

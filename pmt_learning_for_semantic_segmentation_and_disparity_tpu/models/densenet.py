@@ -12,6 +12,8 @@ from __future__ import annotations
 from typing import List, Optional, Sequence, Tuple
 
 import flax.linen as nn
+
+from .blocks import bn_train_mode
 import jax
 import jax.numpy as jnp
 
@@ -41,7 +43,7 @@ class _DenseLayer(nn.Module):
     def __call__(self, x, train: bool = False):
         def bn(name):
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                use_running_average=not bn_train_mode(self, train), momentum=0.9, epsilon=1e-5,
                 axis_name=self.axis_name, dtype=None, name=name,
             )
 
@@ -80,7 +82,7 @@ class _Transition(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_running_average=not bn_train_mode(self, train), momentum=0.9, epsilon=1e-5,
             axis_name=self.axis_name, dtype=None, name="norm",
         )(x)
         x = nn.relu(x)
@@ -108,7 +110,7 @@ class DenseNetFeatures(nn.Module):
         )(x)
         taps.append(x)  # /2, pre-BN (densenet.py:223-224)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_running_average=not bn_train_mode(self, train), momentum=0.9, epsilon=1e-5,
             axis_name=self.axis_name, dtype=None, name="norm0",
         )(x)
         x = nn.relu(x)
@@ -129,7 +131,7 @@ class DenseNetFeatures(nn.Module):
                 taps.append(x)  # tap BEFORE the pool (densenet.py:229-232)
                 x = avg_pool(x, 2, 2)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_running_average=not bn_train_mode(self, train), momentum=0.9, epsilon=1e-5,
             axis_name=self.axis_name, dtype=None, name="norm5",
         )(x)
         taps.append(nn.relu(x))

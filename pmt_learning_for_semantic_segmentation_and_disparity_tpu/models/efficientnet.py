@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..core.registry import BACKBONES
-from .blocks import he_fan_out
+from .blocks import bn_train_mode, he_fan_out
 
 # (expand, channels, layers, stride, kernel) — B0 stage table
 _B0_STAGES = [
@@ -67,7 +67,7 @@ class MBConv(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.99,
+            return nn.BatchNorm(use_running_average=not bn_train_mode(self, train), momentum=0.99,
                                 epsilon=1e-3, axis_name=self.axis_name,
                                 dtype=None, name=name)
 
@@ -106,7 +106,7 @@ class EfficientNetFeatures(nn.Module):
     @nn.compact
     def __call__(self, x, train=False) -> List[jnp.ndarray]:
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.99,
+            return nn.BatchNorm(use_running_average=not bn_train_mode(self, train), momentum=0.99,
                                 epsilon=1e-3, axis_name=self.axis_name,
                                 dtype=None, name=name)
 

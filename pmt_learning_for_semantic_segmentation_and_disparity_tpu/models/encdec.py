@@ -20,12 +20,12 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.resize import resize_bilinear
-from .blocks import he_fan_out
+from .blocks import bn_train_mode, he_fan_out
 from .densenet import max_pool_3x3_s2
 
 
-def _abn(x, train, axis_name, name_scope):
-    y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+def _abn(x, mod, train, axis_name, name_scope):
+    y = nn.BatchNorm(use_running_average=not bn_train_mode(mod, train), momentum=0.9,
                      epsilon=1e-5, axis_name=axis_name, dtype=None,
                      name=name_scope)(x)
     return nn.relu(y)
@@ -87,7 +87,7 @@ class SelfAttentionBlock2D(nn.Module):
             )
         hs, ws = xs.shape[1], xs.shape[2]
         f_key = nn.Conv(self.key_channels, (1, 1), name="f_key")
-        key = _abn(f_key(xs), train, self.axis_name, "key_bn")
+        key = _abn(f_key(xs), self, train, self.axis_name, "key_bn")
         query = key  # f_query = f_key (oc.py:41)
         value = nn.Conv(self.value_channels, (1, 1), name="f_value")(xs)
 
@@ -117,13 +117,13 @@ class BaseOC(nn.Module):
     def __call__(self, x, train=False):
         y = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1)] * 2,
                     name="conv")(x)
-        y = _abn(y, train, self.axis_name, "bn")
+        y = _abn(y, self, train, self.axis_name, "bn")
         ctx = SelfAttentionBlock2D(
             self.out_channels // 2, self.out_channels // 2,
             self.out_channels, axis_name=self.axis_name, name="attn",
         )(y, train)
         ctx = nn.Conv(self.out_channels, (1, 1), name="proj")(ctx)
-        ctx = _abn(ctx, train, self.axis_name, "proj_bn")
+        ctx = _abn(ctx, self, train, self.axis_name, "proj_bn")
         return nn.Dropout(self.dropout, deterministic=not train)(ctx)
 
 
@@ -138,7 +138,7 @@ class DecoderUnetSCSE(nn.Module):
     def __call__(self, *args, train=False):
         x = jnp.concatenate(args, axis=-1) if len(args) > 1 else args[0]
         x = nn.Conv(self.middle, (3, 3), padding=[(1, 1)] * 2, name="conv")(x)
-        x = _abn(x, train, self.axis_name, "bn")
+        x = _abn(x, self, train, self.axis_name, "bn")
         x = SCSEBlock(name="scse")(x)
         return nn.ConvTranspose(self.out, (4, 4), strides=(2, 2),
                                 padding="SAME", name="up")(x)
@@ -164,16 +164,16 @@ class DecoderUnetSEIBN(nn.Module):
                          reduction_axes=(1, 2), feature_axes=-1,
                          name="inorm")(y[..., :half])
         a = nn.relu(a)
-        bpart = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        bpart = nn.BatchNorm(use_running_average=not bn_train_mode(self, train), momentum=0.9,
                              epsilon=1e-5, axis_name=self.axis_name,
                              dtype=None, name="bnorm")(y[..., half:])
         bpart = nn.relu(bpart)
         y = jnp.concatenate([a, bpart], axis=-1)
         y = nn.ConvTranspose(q, (4, 4), strides=(2, 2), padding="SAME",
                              name="up")(y)
-        y = _abn(y, train, self.axis_name, "up_bn")
+        y = _abn(y, self, train, self.axis_name, "up_bn")
         y = nn.Conv(self.out, (1, 1), name="proj")(y)
-        return _abn(y, train, self.axis_name, "proj_bn")
+        return _abn(y, self, train, self.axis_name, "proj_bn")
 
 
 class DecoderUnetOC(nn.Module):
@@ -187,7 +187,7 @@ class DecoderUnetOC(nn.Module):
     def __call__(self, *args, train=False):
         x = jnp.concatenate(args, axis=-1) if len(args) > 1 else args[0]
         x = nn.Conv(self.middle, (3, 3), padding=[(1, 1)] * 2, name="conv")(x)
-        x = _abn(x, train, self.axis_name, "bn")
+        x = _abn(x, self, train, self.axis_name, "bn")
         x = BaseOC(self.middle, dropout=0.2, axis_name=self.axis_name,
                    name="oc")(x, train)
         return nn.ConvTranspose(self.out, (4, 4), strides=(2, 2),
@@ -209,21 +209,21 @@ class _ResBlock(nn.Module):
         res = x
         y = nn.Conv(self.planes, (1, 1), use_bias=False,
                     kernel_init=he_fan_out, name="c1")(x)
-        y = _abn(y, train, self.axis_name, "b1")
+        y = _abn(y, self, train, self.axis_name, "b1")
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
                     padding=[(1, 1)] * 2, use_bias=False,
                     kernel_init=he_fan_out, name="c2")(y)
-        y = _abn(y, train, self.axis_name, "b2")
+        y = _abn(y, self, train, self.axis_name, "b2")
         y = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
                     kernel_init=he_fan_out, name="c3")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = nn.BatchNorm(use_running_average=not bn_train_mode(self, train), momentum=0.9,
                          epsilon=1e-5, axis_name=self.axis_name, dtype=None,
                          name="b3")(y)
         if self.down:
             res = nn.Conv(self.planes * 4, (1, 1),
                           strides=(self.stride,) * 2, use_bias=False,
                           kernel_init=he_fan_out, name="down")(x)
-            res = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            res = nn.BatchNorm(use_running_average=not bn_train_mode(self, train), momentum=0.9,
                                epsilon=1e-5, axis_name=self.axis_name,
                                dtype=None, name="down_bn")(res)
         return nn.relu(y + res)
@@ -254,7 +254,7 @@ class EncoderDecoderNet(nn.Module):
         # layer4../32
         e = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
                     use_bias=False, kernel_init=he_fan_out, name="stem")(x)
-        e = _abn(e, train, ax, "stem_bn")
+        e = _abn(e, self, train, ax, "stem_bn")
         e1 = max_pool_3x3_s2(e)
         e = e1
         feats = []
@@ -296,6 +296,6 @@ class EncoderDecoderNet(nn.Module):
         u2 = resize_bilinear(d2, img_hw)
         d = jnp.concatenate([d1, u2, u3, u4, u5], axis=-1)
         y = nn.Conv(64, (1, 1), name="logits1")(d)
-        y = _abn(y, train, ax, "logits_bn")
+        y = _abn(y, self, train, ax, "logits_bn")
         logits = nn.Conv(self.labels, (1, 1), name="logits2")(y)
         return {"seg1": logits, "disp1": None, "seg2": None, "disp2": None}

@@ -13,6 +13,8 @@ import math
 from typing import Optional, Tuple
 
 import flax.linen as nn
+
+from .blocks import bn_train_mode
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,6 +34,21 @@ def sinusoid_table(n_position: int, dim: int) -> np.ndarray:
     if dim > 1:
         tab[:, 1::2] = np.cos(tab[:, 1::2])
     return tab + 1.0
+
+
+def build_pos_grid(h: int, w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Driver-side HANet row/col coordinate grids
+    (torch_implementation.py:138-144): FIXED 1024x2048 index grids divided
+    by 8/16 (giving 0..127), independent of the actual input size — the
+    reference always builds the cityscapes-resolution grid. Only column 0 of
+    pos_h (and row 0 of pos_w) is ever consumed (PosEmbedding.py:66), so we
+    return broadcastable (1, 1024, 1) / (1, 1, 2048) grids instead of
+    materializing (B, 1024, 2048).
+    """
+    del h, w  # reference ignores the input resolution here
+    pos_h = (jnp.arange(1024, dtype=jnp.int32) // 8)[None, :, None]
+    pos_w = (jnp.arange(2048, dtype=jnp.int32) // 16)[None, None, :]
+    return pos_h, pos_w
 
 
 def adaptive_pool_rows(x: jnp.ndarray, out_len: int, mode: str = "max") -> jnp.ndarray:
@@ -68,6 +85,13 @@ class HANetConv(nn.Module):
     pooling: str = "max"
     dropout_prob: float = 0.0
     pos_injection: int = 2
+    # is_encoding=1: frozen sinusoid table (PosEncoding1D,
+    # PosEmbedding.py:49-85); 0: learned embedding (PosEmbedding1D,
+    # PosEmbedding.py:88-120).
+    is_encoding: int = 1
+    # train-time gaussian jitter of the row index, clamped to
+    # +-16//pos_rfactor then to the table range (PosEmbedding.py:62-67).
+    pos_noise: float = 0.0
 
     @nn.compact
     def __call__(self, x, out, pos=None, train: bool = False):
@@ -83,21 +107,35 @@ class HANetConv(nn.Module):
             x1d = nn.Dropout(self.dropout_prob, deterministic=not train)(x1d)
 
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return nn.BatchNorm(use_running_average=not bn_train_mode(self, train), momentum=0.9,
                                 epsilon=1e-5, dtype=None, name=name)
 
         x1d = nn.Conv(mid1, (1,), use_bias=False, name="att1_conv")(x1d)
         x1d = nn.relu(bn("att1_bn")(x1d))
 
         if pos is not None and self.pos_injection == 2:
-            pos_h = pos[0]  # (B, H0, W0)
+            pos_h = pos[0]  # (B or 1, H0, W0>=1)
             ph = (pos_h // self.pos_rfactor)[:, :, 0].astype(jnp.float32)
             ph = ph[:, :, None]  # (B, H0, 1)
             ph = jax.image.resize(
                 ph, (ph.shape[0], pool_len, 1), method="nearest"
             )[..., 0].astype(jnp.int32)
-            table = jnp.asarray(sinusoid_table(pool_len + 1, mid1))
-            x1d = x1d + table[jnp.clip(ph, 0, pool_len)]
+            if train and self.pos_noise > 0.0:
+                clamp = 16 // self.pos_rfactor
+                noise = jax.random.normal(
+                    self.make_rng("dropout"), ph.shape
+                ) * self.pos_noise
+                ph = ph + jnp.clip(
+                    jnp.floor(noise).astype(jnp.int32), -clamp, clamp
+                )
+            ph = jnp.clip(ph, 0, pool_len)
+            if self.is_encoding:
+                table = jnp.asarray(sinusoid_table(pool_len + 1, mid1))
+                x1d = x1d + table[ph]
+            else:
+                x1d = x1d + nn.Embed(
+                    pool_len + 1, mid1, name="pos_emb1d_2nd"
+                )(ph)
 
         if self.layer == 2:
             x1d = nn.Conv(self.out_channels, (self.kernel,),

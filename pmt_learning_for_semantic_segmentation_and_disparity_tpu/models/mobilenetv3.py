@@ -11,7 +11,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..core.registry import BACKBONES
-from .blocks import he_fan_out
+from .blocks import bn_train_mode, he_fan_out
 
 
 def _make_divisible(v, divisor=8, min_value=None):
@@ -60,7 +60,7 @@ class InvertedResidual(nn.Module):
     def __call__(self, x, train: bool = False):
         def bn(name):
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                use_running_average=not bn_train_mode(self, train), momentum=0.9, epsilon=1e-5,
                 axis_name=self.axis_name, dtype=None, name=name,
             )
 
@@ -132,7 +132,7 @@ class MobileNetV3LargeFeatures(nn.Module):
             kernel_init=he_fan_out, name="stem",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_running_average=not bn_train_mode(self, train), momentum=0.9, epsilon=1e-5,
             axis_name=self.axis_name, dtype=None, name="stem_bn",
         )(x)
         x = h_swish(x)

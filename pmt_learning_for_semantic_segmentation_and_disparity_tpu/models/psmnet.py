@@ -24,12 +24,12 @@ import jax.numpy as jnp
 from ..core.registry import MODELS
 from ..ops.costvolume import concat_cost_volume, soft_argmin
 from ..ops.resize import avg_pool, resize_bilinear
-from .blocks import he_fan_out
+from .blocks import bn_train_mode, he_fan_out
 
 
-def _bn(train, axis_name, name):
+def _bn(mod, train, axis_name, name):
     return nn.BatchNorm(
-        use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        use_running_average=not bn_train_mode(mod, train), momentum=0.9, epsilon=1e-5,
         axis_name=axis_name, dtype=None, name=name,
     )
 
@@ -51,7 +51,7 @@ class _ConvBN2d(nn.Module):
             padding=[(pad, pad), (pad, pad)], use_bias=False,
             kernel_init=he_fan_out, name="conv",
         )(x)
-        return _bn(train, self.axis_name, "bn")(x)
+        return _bn(self, train, self.axis_name, "bn")(x)
 
 
 class _BasicBlock(nn.Module):
@@ -72,7 +72,7 @@ class _BasicBlock(nn.Module):
         if self.downsample:
             x = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
                         use_bias=False, name="down")(x)
-            x = _bn(train, self.axis_name, "down_bn")(x)
+            x = _bn(self, train, self.axis_name, "down_bn")(x)
         return out + x
 
 
@@ -134,7 +134,7 @@ class _ConvBN3d(nn.Module):
             padding=[(1, 1)] * 3, use_bias=False, kernel_init=he_fan_out,
             name="conv",
         )(x)
-        return _bn(train, self.axis_name, "bn")(x)
+        return _bn(self, train, self.axis_name, "bn")(x)
 
 
 class _Deconv3dBN(nn.Module):
@@ -147,7 +147,7 @@ class _Deconv3dBN(nn.Module):
             self.features, (3, 3, 3), strides=(2, 2, 2), padding="SAME",
             use_bias=False, kernel_init=he_fan_out, name="deconv",
         )(x)
-        return _bn(train, self.axis_name, "bn")(x)
+        return _bn(self, train, self.axis_name, "bn")(x)
 
 
 class Hourglass3D(nn.Module):

@@ -12,7 +12,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..core.registry import BACKBONES
-from .blocks import he_fan_out
+from .blocks import bn_train_mode, he_fan_out
 from .densenet import max_pool_3x3_s2
 
 RESNET_TAP_CHANNELS = (64, 256, 512, 1024, 2048)
@@ -29,7 +29,7 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         def bn(name):
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                use_running_average=not bn_train_mode(self, train), momentum=0.9, epsilon=1e-5,
                 axis_name=self.axis_name, dtype=None, name=name,
             )
 
@@ -75,7 +75,7 @@ class ResNetDeeplabFeatures(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, kernel_init=he_fan_out, name="conv1")(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_running_average=not bn_train_mode(self, train), momentum=0.9, epsilon=1e-5,
             axis_name=self.axis_name, dtype=None, name="bn1",
         )(x)
         x = nn.relu(x)

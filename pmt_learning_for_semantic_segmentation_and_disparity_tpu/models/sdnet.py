@@ -341,7 +341,8 @@ class MiniDSNetExt(nn.Module):
 
                 seg_branch2, _ = HANetConv(
                     out_channels=self.labels, pooling="max", pos_rfactor=2,
-                    dropout_prob=0.1, name="hanet_last",
+                    dropout_prob=0.1, is_encoding=m.hanet_is_encoding,
+                    pos_noise=m.hanet_pos_noise, name="hanet_last",
                 )(a0, seg_branch2, pos, train=train)
 
         out = {"seg1": seg_branch, "disp1": disp_out,

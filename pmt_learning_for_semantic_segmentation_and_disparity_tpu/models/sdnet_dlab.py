@@ -133,7 +133,8 @@ class MiniDSNetExtDeeplab(nn.Module):
 
             seg_branch2, _ = HANetConv(
                 out_channels=self.labels, pooling="max", pos_rfactor=2,
-                dropout_prob=0.1, name="hanet_last",
+                dropout_prob=0.1, is_encoding=m.hanet_is_encoding,
+                pos_noise=m.hanet_pos_noise, name="hanet_last",
             )(a_py0, seg_branch2, pos, train=train)
 
         return {"seg1": seg_branch, "disp1": disp_out,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Any, Dict, Optional
 
 import jax
@@ -31,10 +32,18 @@ class CheckpointManager:
             ),
         )
         self.best_iou = -1.0
+        self._best_artifact = None
+        best_json = os.path.join(self.directory, "best.json")
+        if os.path.exists(best_json):
+            with open(best_json) as f:
+                best = json.load(f)
+            self.best_iou = float(best.get("iou", -1.0))
+            self._best_artifact = best.get("artifact")
 
     def save(self, step: int, state: TrainState,
              extra: Optional[Dict[str, Any]] = None,
-             val_iou: Optional[float] = None):
+             val_iou: Optional[float] = None,
+             val_derr: Optional[float] = None):
         payload = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -45,11 +54,41 @@ class CheckpointManager:
         if extra is not None:
             with open(os.path.join(self.directory, f"meta_{step}.json"), "w") as f:
                 json.dump(extra, f, default=_np_default)
+        self._mgr.wait_until_finished()
         if val_iou is not None and val_iou > self.best_iou:
             self.best_iou = val_iou
-            with open(os.path.join(self.directory, "best.json"), "w") as f:
-                json.dump({"step": step, "iou": float(val_iou)}, f)
-        self._mgr.wait_until_finished()
+            self._save_best_artifact(step, val_iou, val_derr or 0.0)
+
+    def _save_best_artifact(self, step: int, iou: float, derr: float):
+        """Keep exactly ONE `*_model_best_IOU{x}_Derr{y}` copy of the best
+        checkpoint, deleting the previous best — the reference's
+        save_checkpoint naming scheme (torch_implementation.py:52-66),
+        rounded to 4 decimals like the reference."""
+        name = f"model_best_IOU{round(float(iou), 4)}_Derr{round(float(derr), 4)}"
+        path = os.path.join(self.directory, name)
+        if self._best_artifact:
+            old = os.path.join(self.directory, self._best_artifact)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+        src = os.path.join(self.directory, str(step))
+        if os.path.isdir(src):
+            shutil.copytree(src, path, dirs_exist_ok=True)
+        self._best_artifact = name
+        with open(os.path.join(self.directory, "best.json"), "w") as f:
+            json.dump({"step": step, "iou": float(iou),
+                       "derr": float(derr), "artifact": name}, f)
+
+    def load_meta(self, step: Optional[int] = None) -> Dict[str, Any]:
+        """Metric-history / epoch sidecar of a step (latest by default) —
+        the resume metadata the reference keeps inside its .pth.tar
+        (torch_implementation.py:908-932)."""
+        if step is None:
+            step = self._mgr.latest_step()
+        path = os.path.join(self.directory, f"meta_{step}.json")
+        if step is None or not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
 
     def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
         if step is None:

@@ -55,6 +55,10 @@ class Session:
                 disp_gt=jnp.asarray(sample_batch["disp"][:1]),
                 seg_labels=jnp.argmax(jnp.asarray(sample_batch["seg"][:1]), -1),
             )
+        if cfg.model.hanet:
+            from ..models.hanet import build_pos_grid
+
+            kwargs["pos"] = build_pos_grid(left.shape[1], left.shape[2])
         if cfg.model.edges:
             left = jnp.concatenate(
                 [left, jnp.asarray(sample_batch["edges"][:1])], axis=-1
@@ -128,19 +132,31 @@ class Session:
                 for b in map(dict, loader)
             )
         )
-        for i, (batch, _) in enumerate(it):
+        img = 0
+        for i, (batch, extras) in enumerate(it):
             out, m = self._eval_step(
                 self.state.params, self.state.batch_stats, batch, rng
             )
-            row = acc.update(m)
-            if show_per_step:
-                log(acc.table(step_row=row))
-            if artifacts_dir is not None:
-                dump_prediction_images(
-                    artifacts_dir, i,
-                    np.asarray(out["seg2"]), np.asarray(batch["seg"]),
-                    np.asarray(out["disp1"]), np.asarray(batch["disp"]),
-                )
+            # the eval step returns PER-ROW metrics (leading dim = batch);
+            # keep only the `valid` rows — padded tail rows (pipeline.py
+            # pad_batch) never reach the report. Each row is one reference
+            # eval step (test_model runs batch=1).
+            m = {k: np.asarray(v) for k, v in m.items()}
+            n_rows = next(iter(m.values())).shape[0]
+            valid = extras.get("valid") or n_rows
+            for r in range(min(valid, n_rows)):
+                row = acc.update({k: v[r] for k, v in m.items()})
+                if show_per_step:
+                    log(acc.table(step_row=row))
+                if artifacts_dir is not None:
+                    dump_prediction_images(
+                        artifacts_dir, img,
+                        np.asarray(out["seg2"][r:r + 1]),
+                        np.asarray(batch["seg"][r:r + 1]),
+                        np.asarray(out["disp1"][r:r + 1]),
+                        np.asarray(batch["disp"][r:r + 1]),
+                    )
+                img += 1
         summary = acc.summary(class_names=self.cfg.data.class_names)
         if artifacts_dir is not None and acc.conf2 is not None:
             save_confusion_matrix_png(
@@ -173,6 +189,18 @@ class Session:
             num_workers=cfg.data.num_workers, seed=cfg.run.seed,
         )
         n_dev = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+        if cfg.run.batch % n_dev:
+            raise ValueError(
+                f"-b {cfg.run.batch} must be divisible by the mesh's "
+                f"{n_dev} devices (the global batch shards over the 'data' "
+                f"axis; the reference's DataParallel analogue multiplies "
+                f"batch by device count, torch_implementation.py:661-664)"
+            )
+        if len(trainset) < cfg.run.batch:
+            raise ValueError(
+                f"training set has {len(trainset)} samples < batch "
+                f"{cfg.run.batch} (drop_last leaves zero batches)"
+            )
         eval_batch = max(n_dev, (min(cfg.run.batch, max(1, len(testset)))
                                  // n_dev) * n_dev)
         test_loader = DataLoader(
@@ -183,16 +211,43 @@ class Session:
         first = next(iter(train_loader))
         self.init_state(first, steps_per_epoch=len(train_loader))
         ckpt = CheckpointManager(f"{cfg.run.save_path}/{cfg.model_id()}")
-        history = []
-        for epoch in range(cfg.run.epochs):
+        start_epoch, history = 0, []
+        if cfg.run.load_weights:
+            start_epoch, history = self.restore(cfg.run.load_weights)
+            log(f"restored checkpoint; resuming at epoch {start_epoch}")
+        for epoch in range(start_epoch, cfg.run.epochs):
             self.train_epoch(train_loader, epoch, log=log)
             if (epoch + 1) % cfg.run.eval_every == 0 or epoch == cfg.run.epochs - 1:
                 ev = self.evaluate(test_loader, log=log)
                 history.append(ev)
                 ckpt.save(
                     epoch, self.state,
-                    extra={"epoch": epoch, "eval": ev,
+                    extra={"epoch": epoch, "eval": ev, "history": history,
                            "config": cfg.to_json()},
                     val_iou=ev.get("miou2", -1.0),
+                    val_derr=ev.get("derr", 0.0),
                 )
         return history
+
+    def restore(self, ckpt_dir: str):
+        """Resume from a checkpoint directory (the reference's
+        load_checkpoint_and_params path, torch_implementation.py:865-872 +
+        utilTorch_loadweight.py:6-115): full state + start epoch + metric
+        history — or by-name partial params when the head layout changed
+        (hanet / convDeconvOut / deeplab_mod trigger by-name loading in the
+        reference, torch_implementation.py:865)."""
+        cfg = self.cfg
+        src = CheckpointManager(ckpt_dir)
+        by_name = (cfg.model.hanet or bool(cfg.model.conv_deconv_out)
+                   or cfg.model.net == "deeplab_mod")
+        if by_name:
+            self.state = src.restore_params_partial(self.state)
+            start_epoch, history = 0, []
+        else:
+            self.state = src.restore(self.state)
+            meta = src.load_meta()
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            history = list(meta.get("history", []))
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+        return start_epoch, history

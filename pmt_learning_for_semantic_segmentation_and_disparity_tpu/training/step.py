@@ -12,6 +12,11 @@ sums are reduced with ``lax.pmean``/``psum`` over ICI — the SPMD equivalent
 of DDP's NCCL allreduce (torch_implementation.py:741). Cross-replica
 BatchNorm falls out of passing ``axis_name='data'`` to the model's BN
 layers (replaces sync_batchnorm/ entirely).
+
+Evaluation computes metrics PER ROW (vmapped over the batch) so the host
+can drop padded rows and reproduce the reference's per-image accumulation
+exactly (test_model runs batch=1, torch_implementation.py:450-582) — the
+padded tail of a sharded eval batch never pollutes the reported numbers.
 """
 from __future__ import annotations
 
@@ -36,6 +41,11 @@ from .state import TrainState
 # outputTypes whose head-2 metrics/losses just mirror head 1
 _SINGLE_HEAD = ("smallOutPair", "deeplab", "edgeOut", "pspnet")
 
+# outputs / batch keys consumed by per-row eval metrics+losses
+_EVAL_OUT_KEYS = ("seg1", "seg2", "seg3", "disp1", "disp2", "warped_right",
+                  "edge")
+_EVAL_BATCH_KEYS = ("left", "right", "seg", "disp", "edges", "pad_mask")
+
 
 def _model_inputs(cfg: PMTConfig, batch: Dict[str, jnp.ndarray]):
     """Assemble model inputs per outputType (netForward,
@@ -58,6 +68,13 @@ def _model_inputs(cfg: PMTConfig, batch: Dict[str, jnp.ndarray]):
         from ..ops.edges import compute_grad_mag
 
         kwargs["left_e"] = compute_grad_mag(batch["left"], normalize=False)
+    if cfg.model.hanet:
+        # driver-side HANet row-coordinate grids
+        # (torch_implementation.py:138-144): pos = row indices of the final
+        # seg-head resolution, fed to the height attention module.
+        from ..models.hanet import build_pos_grid
+
+        kwargs["pos"] = build_pos_grid(left.shape[1], left.shape[2])
     if ot in ("deeplab", "deeplab_mod"):
         # scale to [-1,1] and pad by 1 (netForward,
         # torch_implementation.py:123-131)
@@ -94,32 +111,33 @@ def _postprocess_outputs(cfg: PMTConfig, out, batch):
     return out
 
 
-def make_loss_fn(cfg: PMTConfig, model):
-    """Returns loss_fn(params, batch_stats, batch, rng, train) ->
-    (loss, (new_batch_stats, outputs, logs))."""
-    d = cfg.data
-    ot = cfg.model.output_type
-    head1_loss = compose_seg_loss(["cross_entropy"], d.dataset_name, d.n_labels,
-                                  cfg.loss.seg_weight)
-    head2_loss = compose_seg_loss(cfg.loss.losses, d.dataset_name, d.n_labels,
-                                  cfg.loss.seg_weight)
-    dsp_loss = compose_disp_loss(cfg.loss.losses, d.dataset_name, ot)
+def _cast_bf16(tree):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree
+    )
 
+
+def _cast_f32(tree):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x, tree
+    )
+
+
+def make_forward_fn(cfg: PMTConfig, model):
+    """Returns forward(params, batch_stats, batch, rng, train) ->
+    (new_batch_stats, postprocessed outputs)."""
     bf16 = cfg.parallel.bf16
+    ot = cfg.model.output_type
+    # -freeze_bn, and the deeplab rule: train with BatchNorm (only) in eval
+    # mode (torch_implementation.py:236-241, 337-340). Implemented by
+    # calling apply() WITHOUT mutable batch_stats — bn_train_mode() in the
+    # models then switches every BN to running stats while dropout stays
+    # live (models/blocks.py).
+    bn_frozen = cfg.optim.freeze_bn or ot == "deeplab"
 
-    def _cast_bf16(tree):
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree
-        )
-
-    def _cast_f32(tree):
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.float32)
-            if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x, tree
-        )
-
-    def loss_fn(params, batch_stats, batch, rng, train: bool = True):
+    def forward(params, batch_stats, batch, rng, train: bool = True):
         left, right, kwargs = _model_inputs(cfg, batch)
         if bf16:
             # mixed precision: fp32 master params, bf16 compute (the apex/amp
@@ -134,11 +152,7 @@ def make_loss_fn(cfg: PMTConfig, model):
             apply_params, apply_stats = params, batch_stats
         variables = {"params": apply_params, "batch_stats": apply_stats}
         rngs = {"dropout": rng}
-        # -freeze_bn, and the deeplab rule: train with BatchNorm in eval
-        # mode (torch_implementation.py:236-241, 337-340)
-        if cfg.optim.freeze_bn or ot == "deeplab":
-            train = False
-        if train:
+        if train and not bn_frozen:
             out, mut = model.apply(
                 variables, left, right, train=True,
                 mutable=["batch_stats"], rngs=rngs, **kwargs,
@@ -147,16 +161,33 @@ def make_loss_fn(cfg: PMTConfig, model):
             if bf16:
                 new_stats = _cast_f32(new_stats)
         else:
-            out = model.apply(variables, left, right, train=False,
+            out = model.apply(variables, left, right, train=train,
                               rngs=rngs, **kwargs)
             new_stats = batch_stats
         if bf16:
             out = _cast_f32(out)  # losses + metrics stay fp32
         out = _postprocess_outputs(cfg, out, batch)
+        return new_stats, out
+
+    return forward
+
+
+def make_losses_fn(cfg: PMTConfig):
+    """Returns losses(out, batch, rng) -> (loss, logs) on postprocessed
+    model outputs. Pure w.r.t. params — usable batched (train) or vmapped
+    per row (eval)."""
+    d = cfg.data
+    ot = cfg.model.output_type
+    head1_loss = compose_seg_loss(["cross_entropy"], d.dataset_name, d.n_labels,
+                                  cfg.loss.seg_weight)
+    head2_loss = compose_seg_loss(cfg.loss.losses, d.dataset_name, d.n_labels,
+                                  cfg.loss.seg_weight)
+    dsp_loss = compose_disp_loss(cfg.loss.losses, d.dataset_name, ot)
+
+    def losses(out, batch, rng):
         seg_full = batch["seg"]
         disp_gt = batch["disp"]
         logs: Dict[str, jnp.ndarray] = {}
-
         if ot == "multitask":
             mt_d, mt_s1, mt_s2 = out["mt"]
             loss_seg = jnp.mean(mt_s1) + jnp.mean(mt_s2)
@@ -178,27 +209,42 @@ def make_loss_fn(cfg: PMTConfig, model):
                 loss_disp = loss_disp * 0.0 + photo_consistency(
                     out["warped_right"], batch["left"]
                 )
-
         loss = loss_seg + loss_disp
         if ot == "edgeOut" and out.get("edge") is not None:
             loss = loss + balanced_edge_bce(out["edge"], batch["edges"])
         logs["loss"] = loss
         logs["loss_seg"] = loss_seg
         logs["loss_disp"] = loss_disp
+        return loss, logs
+
+    return losses
+
+
+def make_loss_fn(cfg: PMTConfig, model):
+    """Returns loss_fn(params, batch_stats, batch, rng, train) ->
+    (loss, (new_batch_stats, outputs, logs))."""
+    forward = make_forward_fn(cfg, model)
+    losses = make_losses_fn(cfg)
+
+    def loss_fn(params, batch_stats, batch, rng, train: bool = True):
+        new_stats, out = forward(params, batch_stats, batch, rng, train)
+        loss, logs = losses(out, batch, rng)
         return loss, (new_stats, out, logs)
 
     return loss_fn
 
 
-def compute_metrics(cfg: PMTConfig, out, batch) -> Dict[str, jnp.ndarray]:
+def compute_metrics(cfg: PMTConfig, out, batch,
+                    pixel_mask=None) -> Dict[str, jnp.ndarray]:
     """On-device metric pack for both heads + disparity (replaces the
     numpy/sklearn round trips in multiLosses.py:119-154)."""
     n = cfg.data.n_labels
-    m1 = seg_batch_metrics(out["seg1"], batch["seg"], n)
-    m2 = seg_batch_metrics(out["seg2"], batch["seg"], n)
+    m1 = seg_batch_metrics(out["seg1"], batch["seg"], n, pixel_mask)
+    m2 = seg_batch_metrics(out["seg2"], batch["seg"], n, pixel_mask)
     use_mask = cfg.data.dataset_name not in ("garden", "roses")
     dm = disp_metrics(out["disp1"], batch["disp"], batch["seg"],
-                      cfg.model.max_disp, mask_invalid=use_mask)
+                      cfg.model.max_disp, mask_invalid=use_mask,
+                      pixel_mask=pixel_mask)
     return {
         "pixel_acc1": m1.pixel_acc, "pixel_acc2": m2.pixel_acc,
         "conf1": m1.confusion, "conf2": m2.confusion,
@@ -210,7 +256,35 @@ def compute_metrics(cfg: PMTConfig, out, batch) -> Dict[str, jnp.ndarray]:
     }
 
 
-_SUM_METRICS = ("conf1", "conf2", "disp_err3px", "disp_valid")
+def _eval_metrics_full(cfg: PMTConfig, out, batch) -> Dict[str, jnp.ndarray]:
+    """compute_metrics + the head-1 P/R/F1/BF1 the reference's eval needs
+    for its max-of-heads columns (test_model torch_implementation.py:497-506:
+    max(pixelPrec), max(pixelRecall), max(pixelF1), max(pixelBF1)).
+    pad_to_bucket spatial padding is masked out of every metric."""
+    n = cfg.data.n_labels
+    pm = batch.get("pad_mask")
+    pm = pm[..., 0] if pm is not None else None
+    m = compute_metrics(cfg, out, batch, pixel_mask=pm)
+    m1 = seg_batch_metrics(out["seg1"], batch["seg"], n, pm)
+    m.update(prec1=m1.precision, recall1=m1.recall, f1_1=m1.f1,
+             bf1_1=m1.branch_f1)
+    return m
+
+
+def _bn_stat_paths(batch_stats):
+    """Module paths that own batch_stats leaves — exactly the BN modules.
+    Used to zero BN parameter gradients under -freeze_bn without the
+    name-substring fragility."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(batch_stats)
+    return {path[:-1] for path, _ in flat}
+
+
+def _zero_bn_grads(grads, batch_stats):
+    stat_paths = _bn_stat_paths(batch_stats)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, g: jnp.zeros_like(g) if path[:-1] in stat_paths else g,
+        grads,
+    )
 
 
 def make_train_step(cfg: PMTConfig, model, mesh: Optional[Mesh] = None):
@@ -230,14 +304,9 @@ def make_train_step(cfg: PMTConfig, model, mesh: Optional[Mesh] = None):
         )
         if cfg.optim.freeze_bn:
             # the reference also stops BN affine gradients
-            # (networkOutput, torch_implementation.py:236-241)
-            grads = jax.tree_util.tree_map_with_path(
-                lambda path, g: jnp.zeros_like(g)
-                if any("bn" in str(k).lower() or "norm" in str(k).lower()
-                       for k in path)
-                else g,
-                grads,
-            )
+            # (networkOutput, torch_implementation.py:236-241); keyed on
+            # which modules own batch_stats, not on parameter names.
+            grads = _zero_bn_grads(grads, state.batch_stats)
         metrics = compute_metrics(cfg, out, batch)
         metrics.update(logs)
         if mesh is not None:
@@ -266,19 +335,45 @@ def make_train_step(cfg: PMTConfig, model, mesh: Optional[Mesh] = None):
     return jax.jit(step, donate_argnums=(0,))
 
 
+_SUM_METRICS = ("conf1", "conf2", "disp_err3px", "disp_valid")
+
+
 def make_eval_step(cfg: PMTConfig, model, mesh: Optional[Mesh] = None):
-    loss_fn = make_loss_fn(cfg, model)
+    """Eval step returning (outputs, per-ROW metrics).
+
+    Every metric leaf has leading dim = batch: scalars become (B,), the
+    confusion matrices (B,n,n). The host accumulator keeps only the first
+    ``valid`` rows of a padded batch and treats each row as one reference
+    eval step (test_model with batch=1, torch_implementation.py:450-582) —
+    mean±std and max-of-heads columns then match the reference exactly and
+    padded rows never bias the report.
+    """
+    forward = make_forward_fn(cfg, model)
+    losses = make_losses_fn(cfg)
+    ot = cfg.model.output_type
+
+    def _row(out_row, batch_row, rng):
+        out_b = {k: v[None] for k, v in out_row.items()}
+        bb = {k: v[None] for k, v in batch_row.items()}
+        m = _eval_metrics_full(cfg, out_b, bb)
+        if ot != "multitask":
+            _, logs = losses(out_b, bb, rng)
+            m.update(logs)
+        return m
 
     def _step(params, batch_stats, batch, rng):
-        loss, (_, out, logs) = loss_fn(params, batch_stats, batch, rng, False)
-        metrics = compute_metrics(cfg, out, batch)
-        metrics.update(logs)
-        if mesh is not None:
-            metrics = {
-                k: (lax.psum(v, DATA_AXIS) if k in _SUM_METRICS
-                    else lax.pmean(v, DATA_AXIS))
-                for k, v in metrics.items()
-            }
+        _, out = forward(params, batch_stats, batch, rng, False)
+        out_v = {k: out[k] for k in _EVAL_OUT_KEYS
+                 if out.get(k) is not None}
+        batch_v = {k: batch[k] for k in _EVAL_BATCH_KEYS if k in batch}
+        metrics = jax.vmap(lambda o, b: _row(o, b, rng))(out_v, batch_v)
+        if ot == "multitask":
+            # Kendall losses are computed inside the model over the whole
+            # batch — report the batch-level value on every row.
+            nrows = batch["left"].shape[0]
+            _, logs = losses(out, batch, rng)
+            for k, v in logs.items():
+                metrics[k] = jnp.full((nrows,), v)
         return out, metrics
 
     if mesh is None:
@@ -288,7 +383,7 @@ def make_eval_step(cfg: PMTConfig, model, mesh: Optional[Mesh] = None):
         _step,
         mesh=mesh,
         in_specs=(P(), P(), P(DATA_AXIS), P()),
-        out_specs=(P(DATA_AXIS), P()),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
         check_rep=False,
     )
     return jax.jit(step)

@@ -112,7 +112,7 @@ def test_spmd_matches_single_device_grads(rng):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-4)
 
 
-def test_eval_step(rng):
+def test_eval_step_per_row_metrics(rng):
     cfg = PMTConfig()
     cfg.model.net = "sdnet_mini"
     model = models.get_network(cfg)
@@ -121,7 +121,33 @@ def test_eval_step(rng):
     ev = make_eval_step(cfg, model, mesh=None)
     out, metrics = ev(state.params, state.batch_stats, batch, jax.random.PRNGKey(0))
     assert out["seg2"].shape == (2, 32, 64, 2)
-    assert np.isfinite(float(metrics["disp_rmse"]))
+    # per-ROW metrics: scalars (B,), confusion (B,n,n)
+    assert metrics["disp_rmse"].shape == (2,)
+    assert metrics["conf2"].shape == (2, 2, 2)
+    assert metrics["loss"].shape == (2,)
+    assert np.isfinite(np.asarray(metrics["disp_rmse"])).all()
+    # head-1 max-of-heads inputs present (test_model :497-506)
+    assert "prec1" in metrics and "bf1_1" in metrics
+
+
+def test_eval_row_equals_single_row_batch(rng):
+    """Row r of a batched eval == evaluating that sample alone (the padded
+    rows of a sharded eval batch can therefore be dropped exactly)."""
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini"
+    model = models.get_network(cfg)
+    batch_np = _toy_batch(rng, b=2)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    state = _make_state(cfg, model, batch)
+    ev = make_eval_step(cfg, model, mesh=None)
+    _, m2 = ev(state.params, state.batch_stats, batch, jax.random.PRNGKey(0))
+    one = {k: jnp.asarray(v[:1]) for k, v in batch_np.items()}
+    _, m1 = ev(state.params, state.batch_stats, one, jax.random.PRNGKey(0))
+    for k in ("loss", "pixel_acc2", "disp_rmse", "f1_2"):
+        np.testing.assert_allclose(
+            np.asarray(m2[k])[0], np.asarray(m1[k])[0], rtol=2e-5, atol=1e-6,
+            err_msg=k,
+        )
 
 
 def test_poly_schedule():
