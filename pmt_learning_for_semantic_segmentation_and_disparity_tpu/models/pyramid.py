@@ -64,6 +64,41 @@ class PiramidNet2(nn.Module):
         return out0, out1, out2, out3, out4, b2, b1, b0
 
 
+class PiramidNetV1(nn.Module):
+    """The ORIGINAL piramidNet used by dsnet/dsnetv2 (dsnet_t2.py:324-397):
+    densenet121 only, 5 branches on tap0 and 3 branches — confusingly named
+    branch1_* in the reference — applied to tap2 with pools 32/16/8.
+    Returns (tap0..tap4, b2, b0): no enriched tap1."""
+
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
+        backbone = BACKBONES.get("densenet")(
+            axis_name=self.axis_name, name="backbone"
+        )
+        out0, out1, out2, out3, out4 = backbone(x, train)
+
+        def branch(inp, pool, name):
+            pool = min(pool, inp.shape[1], inp.shape[2])
+            y = avg_pool(inp, pool, pool)
+            y = ConvBN(32, 3, relu=True, axis_name=self.axis_name, name=name)(
+                y, train
+            )
+            return resize_bilinear(y, (inp.shape[1], inp.shape[2]))
+
+        b0 = jnp.concatenate(
+            [out0] + [branch(out0, POOL_VALS[k], f"branch0_{k}") for k in range(5)],
+            axis=-1,
+        )
+        b2 = jnp.concatenate(
+            [out2]
+            + [branch(out2, POOL_VALS[k + 2], f"branch1_{k}") for k in range(3)],
+            axis=-1,
+        )
+        return out0, out1, out2, out3, out4, b2, b0
+
+
 class PiramidNet2Warp(nn.Module):
     """The warp-family variant (models/dsnet_t2_warp.py:339-480): same as
     PiramidNet2 plus a 4th pyramid tap over backbone tap 3 (two branches,

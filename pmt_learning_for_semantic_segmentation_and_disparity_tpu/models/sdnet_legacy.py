@@ -21,7 +21,7 @@ from ..core.registry import MODELS
 from ..ops.correlation import correlation
 from ..ops.resize import resize_bilinear, resize_nearest, upsample_nearest
 from .blocks import Conv2DownUp, ConvBN, ConvOut, DeconvBN
-from .pyramid import PiramidNet2
+from .pyramid import PiramidNetV1
 from .sdnet import SegNetHead
 
 
@@ -36,9 +36,10 @@ class DSNet(nn.Module):
     def __call__(self, input_a, input_b, train: bool = False, **_):
         ax = self.axis_name
         full_hw = (input_a.shape[1], input_a.shape[2])
-        pyr = PiramidNet2(backbone="densenet", axis_name=ax, name="features")
-        a0, a1, a2, a3, a4, a_py2, a_py1, a_py0 = pyr(input_a, train)
-        b0, b1, b2, b3, b4, b_py2, b_py1, b_py0 = pyr(input_b, train)
+        # the legacy piramidNet (dsnet_t2.py:324-397): no enriched tap1
+        pyr = PiramidNetV1(axis_name=ax, name="features")
+        a0, a1, a2, a3, a4, a_py2, a_py0 = pyr(input_a, train)
+        b0, b1, b2, b3, b4, b_py2, b_py0 = pyr(input_b, train)
 
         def ba(name):
             return nn.relu(ConvBN(1, 5, dilation=2, axis_name=ax,
@@ -160,9 +161,10 @@ class DSNetV2(nn.Module):
         full_hw = (left.shape[1], left.shape[2])
         patch = (1, 17) if m.corr_type == "1dcorr" else (17, 17)
 
-        pyr = PiramidNet2(backbone="densenet", axis_name=ax, name="features")
-        a0, a1, a2, a3, a4, a_py2, a_py1, a_py0 = pyr(left, train)
-        b0, b1, b2, b3, b4, b_py2, b_py1, b_py0 = pyr(right, train)
+        # the legacy piramidNet (dsnet_t2.py:408, 324-397): no enriched tap1
+        pyr = PiramidNetV1(axis_name=ax, name="features")
+        a0, a1, a2, a3, a4, a_py2, a_py0 = pyr(left, train)
+        b0, b1, b2, b3, b4, b_py2, b_py0 = pyr(right, train)
 
         def ba(name):
             return nn.relu(ConvBN(1, 5, dilation=2, axis_name=ax,

@@ -139,3 +139,242 @@ def apply_backbone_params(variables: Dict[str, Any], backbone_params,
         node = node.setdefault(p, {})
     node[path[-1]] = backbone_stats
     return out
+
+
+# ---------------------------------------------------------------------------
+# Full-model import: minidsnetExt (dsnet_t2.py:941-1299) -> MiniDSNetExt
+# ---------------------------------------------------------------------------
+
+def _get(sd, key):
+    return np.asarray(sd[key])
+
+
+def _convbn(sd, prefix):
+    """convbn (dsnet_t2.py:16-46): Sequential(conv2dSame bias-free, BN).
+    torch keys {prefix}.layers.0.c2d.weight + {prefix}.layers.1.* ->
+    our ConvBN {conv:{kernel}, bn:{scale,bias}} + stats."""
+    w = conv_kernel(_get(sd, f"{prefix}.layers.0.c2d.weight"))
+    p, s = bn_entries(sd, f"{prefix}.layers.1")
+    return {"conv": {"kernel": w}, "bn": p}, {"bn": s}
+
+
+def _deconvbn(sd, prefix):
+    """deconvbn (dsnet_t2.py:48-77): stride-1 transposed conv == SAME conv
+    with flipped kernel (models/blocks.py DeconvBN)."""
+    w = deconv_as_conv_kernel(_get(sd, f"{prefix}.layers.0.ct2d.weight"))
+    p, s = bn_entries(sd, f"{prefix}.layers.1")
+    return {"deconv": {"kernel": w}, "bn": p}, {"bn": s}
+
+
+def _cdu(sd, prefix, last=True):
+    """Conv2DownUp (dsnet_t2.py:80-117) -> blocks.Conv2DownUp. torch wraps
+    each unit in Sequential(convbn/deconvbn, ReLU, Dropout) -> index .0."""
+    params, stats = {}, {}
+    for name in ("c1", "c2", "c3"):
+        p, s = _convbn(sd, f"{prefix}.{name}.0")
+        params[name], stats[name] = p, s
+    for name in ("d3", "d4") + (("d5",) if last else ()):
+        p, s = _deconvbn(sd, f"{prefix}.{name}.0")
+        params[name], stats[name] = p, s
+    return params, stats
+
+
+def _conv_plain(sd, prefix, features):
+    """conv2dSame (bias=False default, torch_model.py:236-283) inside a
+    Sequential -> our ConvBN(batchnorm=False) which carries a (zero) bias."""
+    w = conv_kernel(_get(sd, f"{prefix}.0.c2d.weight"))
+    bias_key = f"{prefix}.0.c2d.bias"
+    b = (_get(sd, bias_key) if bias_key in sd
+         else np.zeros((features,), np.float32))
+    return {"conv": {"kernel": w, "bias": b}}
+
+
+def _deconv_out(sd, prefix):
+    """ConvTranspose2dSame head (bias=False, init_he=False) -> ConvOut."""
+    return {"conv": {"kernel": deconv_as_conv_kernel(
+        _get(sd, f"{prefix}.ct2d.weight"))}}
+
+
+def ref_densenet_to_torchvision_keys(sd):
+    """The reference's modified densenet (models/densenet.py:150-206,
+    defaultConfig=False) flattens blocks/transitions into one ModuleList
+    ``denseblock`` (even indices = blocks, odd = transitions) with ``conv0``
+    and ``norm5`` hoisted out of ``features``. Rewrite to the torchvision
+    key style import_densenet121 understands."""
+    import re
+
+    out = {}
+    for k, v in sd.items():
+        if "num_batches_tracked" in k or k.startswith("classifier."):
+            continue
+        m = re.match(r"denseblock\.(\d+)\.(.*)", k)
+        if m:
+            idx, rest = int(m.group(1)), m.group(2)
+            if idx % 2 == 0:
+                out[f"features.denseblock{idx // 2 + 1}.{rest}"] = v
+            else:
+                out[f"features.transition{idx // 2 + 1}.{rest}"] = v
+        elif k.startswith("conv0.") or k.startswith("norm5."):
+            out[f"features.{k}"] = v
+        else:
+            out[k] = v  # features.norm0.* is already in place
+    return out
+
+
+def import_piramidnet2(state_dict, prefix="resnet_features",
+                       block_config=(6, 12, 24, 16),
+                       branches=((0, 5), (1, 4), (2, 3))):
+    """piramidNet2 (dsnet_t2.py:1893-2083) -> models.pyramid.PiramidNet2
+    (densenet backbone + branch{t}_{k} convbn pyramid branches)."""
+    params, stats = {}, {}
+    bb = {k[len(f"{prefix}.resnet_features."):]: v
+          for k, v in state_dict.items()
+          if k.startswith(f"{prefix}.resnet_features.")}
+    if "features.conv0.weight" not in bb:
+        bb = ref_densenet_to_torchvision_keys(bb)
+    params["backbone"], stats["backbone"] = import_densenet121(
+        bb, block_config=block_config
+    )
+    for tap, n in branches:
+        for k in range(n):
+            name = f"branch{tap}_{k}"
+            # Sequential: 0=AvgPool, 1=convbn, 2=ReLU
+            p, s = _convbn(state_dict, f"{prefix}.{name}.1")
+            params[name], stats[name] = p, s
+    return params, stats
+
+
+def import_minidsnet_ext(state_dict, labels=2, use_att=True,
+                         conv_deconv_out=0, ablation=()):
+    """Convert a torch minidsnetExt state dict (densenet backbone, aspp 0 —
+    the flagship train-script config, scripts/trainTorchImpl.sh:30-44) into
+    MiniDSNetExt {params, batch_stats} trees.
+
+    The four independent 3->1 image convs conv2d_ba{0..3} merge into our
+    single 3->4 ConvBN; channel order follows the reference's forward
+    binding (dsnet_t2.py:1176-1179): ch0=ba0 (xleft0), ch1=ba2 (xleft1),
+    ch2=ba1 (xleft2), ch3=ba3 (unused xleft3).
+    """
+    sd = state_dict
+    params, stats = {}, {}
+
+    params["features"], stats["features"] = import_piramidnet2(sd)
+
+    # merged image convs
+    order = (0, 2, 1, 3)
+    ks, scs, bis, mes, vas = [], [], [], [], []
+    for i in order:
+        ks.append(conv_kernel(_get(sd, f"conv2d_ba{i}.0.layers.0.c2d.weight")))
+        scs.append(_get(sd, f"conv2d_ba{i}.0.layers.1.weight"))
+        bis.append(_get(sd, f"conv2d_ba{i}.0.layers.1.bias"))
+        mes.append(_get(sd, f"conv2d_ba{i}.0.layers.1.running_mean"))
+        vas.append(_get(sd, f"conv2d_ba{i}.0.layers.1.running_var"))
+    params["conv2d_ba"] = {
+        "conv": {"kernel": np.concatenate(ks, axis=-1)},
+        "bn": {"scale": np.concatenate(scs), "bias": np.concatenate(bis)},
+    }
+    stats["conv2d_ba"] = {"bn": {"mean": np.concatenate(mes),
+                                 "var": np.concatenate(vas)}}
+
+    # segNet head (dsnet_t2.py:915-938) -> SegNetHead
+    seg_p, seg_s = {}, {}
+    seg_p["conv1d_1"] = _conv_plain(sd, "segNet.conv1d_1", 64)
+    seg_p["cdu1"], seg_s["cdu1"] = _cdu(sd, "segNet.Conv2DownUp1")
+    seg_p["conv1d_2"] = _conv_plain(sd, "segNet.conv1d_2", 32)
+    seg_p["cdu2"], seg_s["cdu2"] = _cdu(sd, "segNet.Conv2DownUp2.0", last=False)
+    seg_p["out"] = _deconv_out(sd, "segNet.Conv2DownUp2.1")
+    params["segNet"], stats["segNet"] = seg_p, seg_s
+
+    params["corrConv2d"] = _conv_plain(sd, "corrConv2d", 128)
+    params["cdu3"], stats["cdu3"] = _cdu(sd, "Conv2DownUp3")
+    params["cdu4"], stats["cdu4"] = _cdu(sd, "Conv2DownUp4")
+    params["conv1d_2"] = _conv_plain(sd, "conv1d_2", 64)
+    params["cdu5"], stats["cdu5"] = _cdu(sd, "Conv2DownUp5", last=False)
+    params["dispoutConv"] = _deconv_out(sd, "dispoutConv")
+    # conv1d_3 is constructed but never used by minidsnetExt.forward — skip.
+    params["conv1d_4"] = _conv_plain(sd, "conv1d_4", 128)
+    params["cdu6"], stats["cdu6"] = _cdu(sd, "Conv2DownUp6")
+    if "no_dec3" not in ablation:
+        if use_att:
+            params["cdu7"], stats["cdu7"] = _cdu(sd, "Conv2DownUp7")
+            params["cdu9"], stats["cdu9"] = _cdu(sd, "Conv2DownUp9")
+            params["conv1d_at_d"] = _conv_plain(sd, "conv1d_at_d", 1)
+            params["conv1d_at_s"] = _conv_plain(sd, "conv1d_at_s", 1)
+        params["cdu8"], stats["cdu8"] = _cdu(sd, "Conv2DownUp8")
+    params["cdu10"], stats["cdu10"] = _cdu(sd, "Conv2DownUp10")
+    params["conv1d_5"] = _conv_plain(sd, "conv1d_5", 32)
+    if conv_deconv_out:
+        params["cdu11"], stats["cdu11"] = _cdu(sd, "Conv2DownUp11.0",
+                                               last=False)
+        w = conv_kernel(_get(sd, "convOutput2.c2d.weight"))
+        params["convOutput2"] = {"kernel": w}
+        if conv_deconv_out == 2:
+            params["convOutput"] = _deconv_out(sd, "convOutput")
+    else:
+        params["cdu11"], stats["cdu11"] = _cdu(sd, "Conv2DownUp11.0",
+                                               last=False)
+        params["cdu11_out"] = _deconv_out(sd, "Conv2DownUp11.1")
+    return params, stats
+
+
+def _convbn_single(sd, prefix):
+    """conv2d_ba-style Sequential(convbn, ReLU) -> ConvBN (with BN)."""
+    return _convbn(sd, f"{prefix}.0")
+
+
+def _deconvbn_stride2(sd, prefix):
+    """conv2DT_BA Sequential(deconvbn stride-2, ReLU) -> DeconvBN stride 2.
+    flax ConvTranspose correlates (no kernel flip), torch ConvTranspose2d
+    convolves -> flip spatial dims; layout (I,O,kh,kw) -> (kh,kw,I,O)."""
+    w = _get(sd, f"{prefix}.0.layers.0.ct2d.weight")
+    k = np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1))
+    p, s = bn_entries(sd, f"{prefix}.0.layers.1")
+    return {"deconv": {"kernel": k}, "bn": p}, {"bn": s}
+
+
+def import_dsnetv2(state_dict, labels=2):
+    """Convert a torch dsnetv2 state dict (dsnet_t2.py:402-616) into our
+    DSNetV2 {params, batch_stats} trees (models/sdnet_legacy.py)."""
+    sd = state_dict
+    params, stats = {}, {}
+
+    params["features"], stats["features"] = import_piramidnet2(
+        sd, branches=((0, 5), (1, 3))
+    )
+    for i in range(4):
+        p, s = _convbn_single(sd, f"conv2d_ba{i}")
+        params[f"conv2d_ba{i}"], stats[f"conv2d_ba{i}"] = p, s
+
+    seg_p, seg_s = {}, {}
+    seg_p["conv1d_1"] = _conv_plain(sd, "segNet.conv1d_1", 64)
+    seg_p["cdu1"], seg_s["cdu1"] = _cdu(sd, "segNet.Conv2DownUp1")
+    seg_p["conv1d_2"] = _conv_plain(sd, "segNet.conv1d_2", 32)
+    seg_p["cdu2"], seg_s["cdu2"] = _cdu(sd, "segNet.Conv2DownUp2.0", last=False)
+    seg_p["out"] = _deconv_out(sd, "segNet.Conv2DownUp2.1")
+    params["segNet"], stats["segNet"] = seg_p, seg_s
+
+    params["corrConv2d"] = _conv_plain(sd, "corrConv2d", 128)
+    params["cdu3"], stats["cdu3"] = _cdu(sd, "Conv2DownUp3")
+    params["cdu4"], stats["cdu4"] = _cdu(sd, "Conv2DownUp4")
+    params["conv1d_2"] = _conv_plain(sd, "conv1d_2", 64)
+    params["cdu5"], stats["cdu5"] = _cdu(sd, "Conv2DownUp5", last=False)
+    params["dispoutConv"] = _deconv_out(sd, "dispoutConv")
+    params["conv1d_3"] = _conv_plain(sd, "conv1d_3", 64)
+    params["cdu6"], stats["cdu6"] = _cdu(sd, "Conv2DownUp6")
+    params["conv1d_4"] = _conv_plain(sd, "conv1d_4", 64)
+    params["deconv_ba1"], stats["deconv_ba1"] = _deconvbn_stride2(
+        sd, "conv2DT_BA1")
+    params["conv1d_5"] = _conv_plain(sd, "conv1d_5", 32)
+    params["deconv_ba2"], stats["deconv_ba2"] = _deconvbn_stride2(
+        sd, "conv2DT_BA2")
+    params["conv1d_6"] = _conv_plain(sd, "conv1d_6", 32)
+    params["cdu7"], stats["cdu7"] = _cdu(sd, "Conv2DownUp7", last=False)
+    params["branchConv"] = _deconv_out(sd, "branchConv")
+    params["conv1d_9"] = _conv_plain(sd, "conv1d_9", 128)
+    # conv1d_7 is constructed but never used by dsnetv2.forward — skip.
+    params["cdu8"], stats["cdu8"] = _cdu(sd, "Conv2DownUp8")
+    params["cdu9"], stats["cdu9"] = _cdu(sd, "Conv2DownUp9")
+    params["conv1d_8"] = _conv_plain(sd, "conv1d_8", 64)
+    params["cdu10"], stats["cdu10"] = _cdu(sd, "Conv2DownUp10.0", last=False)
+    params["cdu10_out"] = _deconv_out(sd, "Conv2DownUp10.1")
+    return params, stats
