@@ -19,6 +19,12 @@ from ..training.loop import Session
 
 
 def main(argv=None):
+    from ..parallel.mesh import setup_distributed
+
+    # multi-host rendezvous (PMT_COORDINATOR / PMT_NUM_PROCESSES /
+    # PMT_PROCESS_ID) — the SPMD replacement for the reference's env://
+    # NCCL init (torch_implementation.py:627-630). No-op on one host.
+    setup_distributed()
     cfg = config_from_args(argv)
     print(f"model id: {cfg.model_id()}")
     session = Session(cfg)
@@ -44,10 +50,7 @@ def main(argv=None):
         first = next(iter(loader))
         session.init_state(first)
         if cfg.run.load_weights:
-            from ..training.checkpoint import CheckpointManager
-
-            mgr = CheckpointManager(cfg.run.load_weights)
-            session.state = mgr.restore(session.state)
+            session.restore(cfg.run.load_weights)
         metrics = session.evaluate(
             loader,
             show_per_step=True,

@@ -169,6 +169,10 @@ class ModelConfig:
     dropout: float = 0.0
     ablation: Tuple[str, ...] = ()  # 'no_dec1' | 'no_dec2' | 'no_dec3'
     pretrained: bool = False
+    # path to a torch(vision) densenet121 .pth whose backbone weights are
+    # imported at init (the reference's pretrained=True torch-hub load,
+    # models/densenet.py:248-258, without network access)
+    pretrained_path: str = ""
     max_disp_psm: int = 192  # PSMNet maxdisp (utilLoadNetwork.py:54)
 
     @property
@@ -244,6 +248,15 @@ class RunConfig:
     seed: int = 0
     eval_every: int = 10  # reference evals every 10/20 epochs
     log_every: int = 5  # prints every 5 iters (torch_implementation.py:346)
+    # eval-time tiled inference (the reference ships both paths but gates
+    # them off by constants, torch_implementation.py:119, 265):
+    # 0 = off, 1 = divideNetOutput (256x512 windows, half-stride, 0.25
+    # weight), 2 = slideWindowInfer (512x512, stride 256, softmax accumulate)
+    slide_window: int = 0
+    # eval-time TTA for the mono deeplab net (SegmentatorTTA,
+    # models_deeplab/tta.py:28-42): hflip average + optional extra scales
+    tta: bool = False
+    tta_scales: Tuple[float, ...] = ()
 
 
 @dataclass
@@ -334,6 +347,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     a("-optimType", type=str, default="adam")
     a("-backbone", type=str, default="densenet")
     a("-net", type=str, default="sdnet_mini_ext")
+    a("-pretrained_path", type=str, default="",
+      help="torch densenet121 .pth to import as the pretrained backbone")
     a("-n_data", type=int, default=None)
     a("-output_type", type=str, default=None)
     a("-train", type=int, default=1)
@@ -356,6 +371,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     a("-inst_test", type=str, default="")
     a("-disp_test", type=str, default="")
     a("-save_img", type=int, default=0)
+    a("-slide_window", type=int, default=0,
+      help="eval tiled inference: 1=divideNetOutput 2=slideWindowInfer")
+    a("-tta", type=int, default=0, help="eval hflip TTA (mono deeplab)")
+    a("-tta_scales", nargs="*", type=float, default=[])
     a("-copy_remote", type=int, default=0)
     a("-segWeight", type=int, default=0)
     a("-show_results", type=int, default=1)
@@ -403,6 +422,8 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> PMTConfig:
             hanet=bool(ns.hanet), multaskloss=ns.multaskloss,
             conv_deconv_out=ns.convDeconvOut, dropout=ns.dropout,
             ablation=tuple(ns.abilation),
+            pretrained=bool(ns.pretrained_path),
+            pretrained_path=ns.pretrained_path,
         ),
         loss=LossConfig(losses=tuple(ns.loss), seg_weight=bool(ns.segWeight)),
         optim=OptimConfig(
@@ -414,6 +435,8 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> PMTConfig:
             train=bool(ns.train), batch=ns.batch, epochs=ns.epoch,
             save_path=ns.w_savePath or "results", load_weights=ns.load_weights,
             save_img=bool(ns.save_img), show_results=bool(ns.show_results),
+            slide_window=ns.slide_window, tta=bool(ns.tta),
+            tta_scales=tuple(ns.tta_scales),
         ),
     )
     return cfg.validate()

@@ -53,8 +53,23 @@ class StereoSegDataset:
     hdf5: str = ""
     class_balance_csv: str = ""
     seed: int = 0
+    # native C++ batch decoder (native/pmt_dataio.cc): PNG decode +
+    # depth->disp + one-hot + sobel in one GIL-free call. "auto" uses it
+    # for the roses png path whenever the .so is present.
+    native_io: str = "auto"  # "auto" | "on" | "off"
 
     def __post_init__(self):
+        self._native = None
+        if self.native_io != "off" and self.dataset_name == "roses" \
+                and not self.hdf5:
+            from . import native as N
+
+            if N.native_available():
+                self._native = N
+            elif self.native_io == "on":
+                raise RuntimeError(
+                    "native_io='on' but libpmt_dataio.so is unavailable "
+                    "(run native/build.sh)")
         self._file = None
         if self.hdf5:
             import h5py
@@ -90,9 +105,16 @@ class StereoSegDataset:
                 "disp": disp,
                 "edges": disp.copy(),
             }
-        left = io.read_rgb(self.x_files[idx][0])
-        right = io.read_rgb(self.x_files[idx][1])
         disp_path, seg_path, inst_path = self.y_files[idx]
+        lp, rp = self.x_files[idx]
+        if self._native is not None and all(
+            str(p).endswith(".png")
+            for p in (lp, rp, disp_path, seg_path, inst_path)
+        ):
+            return self._load_raw_native(lp, rp, disp_path, seg_path,
+                                         inst_path)
+        left = io.read_rgb(lp)
+        right = io.read_rgb(rp)
         # seg is read RGB like the reference's PIL load
         # (utilTorchDataLoader.py:150-151); roses thresholds the BLUE channel
         # (index 2 in RGB order, :204-205)
@@ -142,6 +164,28 @@ class StereoSegDataset:
             "disp": disp[..., None].astype(np.float32),
             "edges": edges,
         }
+
+    def _load_raw_native(self, lp, rp, dp, sp, ip) -> Dict[str, np.ndarray]:
+        """Single-sample decode through the C++ runtime (VERDICT #8: the
+        loader path the .cc was written for). Returns the numpy path's
+        conventions exactly: left/right on the 0-255 scale (mean=0,
+        std=1/255 inverts the native (x/255-m)/s), disp with the activation
+        normalization already applied like load_raw."""
+        N = self._native
+        h, w, _ = N.png_info(lp)
+        act = self.output_activation
+        out = N.decode_roses_batch(
+            [lp], [rp], [dp], [sp], [ip], hw=(h, w),
+            n_labels=self.n_labels,
+            activation="linear" if act == "relu" else act,
+            max_d=float(self.max_d),
+            mean=(0.0, 0.0, 0.0), std=(1.0 / 255.0,) * 3, n_threads=1,
+        )
+        sample = {k: v[0] for k, v in out.items()}
+        if act == "relu":
+            # relu clamps at max_d without rescaling (load_raw above)
+            sample["disp"] = np.minimum(sample["disp"], self.max_d)
+        return sample
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng((self.seed * 1_000_003 + idx) & 0x7FFFFFFF)

@@ -60,6 +60,20 @@ def _charpp(strings: Sequence[str]):
     return arr
 
 
+def png_info(path: str):
+    """(h, w, channels) of a png without decoding it."""
+    lib = load_native()
+    assert lib is not None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = lib.pmt_png_info(path.encode(), ctypes.byref(h), ctypes.byref(w),
+                          ctypes.byref(c))
+    if rc != 0:
+        raise IOError(f"pmt_png_info({path}) -> {rc}")
+    return h.value, w.value, c.value
+
+
 def read_png_rgb(path: str) -> np.ndarray:
     lib = load_native()
     assert lib is not None

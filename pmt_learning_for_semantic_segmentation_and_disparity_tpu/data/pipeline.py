@@ -70,6 +70,8 @@ class DataLoader:
         drop_last: bool = True,
         bucket_hw=None,
         pad_batch: bool = False,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -82,6 +84,17 @@ class DataLoader:
         # rows (needed when the batch shards over a mesh); 'valid' in the
         # batch dict records the true count.
         self.pad_batch = pad_batch
+        # multi-host: batch_size is the GLOBAL batch; every host draws the
+        # same (seed-synchronized) index permutation but loads ONLY its
+        # contiguous 1/process_count slice of each batch — the per-host
+        # DistributedSampler analogue (torch_implementation.py:772-790)
+        # without ever materializing the global batch on one host.
+        if batch_size % max(1, process_count):
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"{process_count} processes")
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -102,17 +115,22 @@ class DataLoader:
         idx = np.arange(n)
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(idx)
+        local = self.batch_size // self.process_count
         with futures.ThreadPoolExecutor(self.num_workers) as pool:
             for start in range(0, n, self.batch_size):
                 chunk = idx[start : start + self.batch_size]
                 if len(chunk) < self.batch_size and self.drop_last:
                     break
-                samples = list(pool.map(self.dataset.__getitem__, chunk))
-                valid = len(samples)
+                valid = len(chunk)
                 if self.pad_batch and valid < self.batch_size:
-                    samples = samples + [samples[-1]] * (
-                        self.batch_size - valid
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:],
+                                          self.batch_size - valid)]
                     )
+                # this host's contiguous slice of the global batch
+                chunk = chunk[self.process_index * local:
+                              (self.process_index + 1) * local]
+                samples = list(pool.map(self.dataset.__getitem__, chunk))
                 batch = _stack(samples)
                 if self.bucket_hw is not None:
                     batch = pad_to_bucket(batch, self.bucket_hw)
@@ -121,17 +139,29 @@ class DataLoader:
 
 
 def prefetch_to_mesh(iterator, mesh, size: int = 2):
-    """Double-buffered sharded device prefetch. Drops 'meta' (host-only)."""
+    """Double-buffered sharded device prefetch. Drops 'meta' (host-only).
+
+    Multi-host: each host feeds only its local shard of the global batch
+    (the loader yields batch/process_count rows);
+    ``make_array_from_process_local_data`` assembles the global array."""
     sharding = batch_sharding(mesh)
+    multi = jax.process_count() > 1
     buf = collections.deque()
 
     def put(b):
         meta = {"meta": b.pop("meta", None), "valid": b.pop("valid", None)}
-        dev = {
-            k: jax.device_put(v, sharding)
-            for k, v in b.items()
-            if isinstance(v, np.ndarray)
-        }
+        if multi:
+            dev = {
+                k: jax.make_array_from_process_local_data(sharding, v)
+                for k, v in b.items()
+                if isinstance(v, np.ndarray)
+            }
+        else:
+            dev = {
+                k: jax.device_put(v, sharding)
+                for k, v in b.items()
+                if isinstance(v, np.ndarray)
+            }
         return dev, meta
 
     it = iter(iterator)

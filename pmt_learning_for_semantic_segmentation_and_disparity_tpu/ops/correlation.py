@@ -347,8 +347,14 @@ def correlation(
 ) -> jnp.ndarray:
     """Dispatch: Pallas (with analytic custom_vjp) on TPU, lax otherwise."""
     ph, pw = patch
-    if use_pallas and ph == 1 and not normalize:
-        return _corr1d(f1, f2, pw)
+    if use_pallas and ph == 1:
+        out = _corr1d(f1, f2, pw)
+        if normalize:
+            # channel normalization is a scalar scale — keep the Pallas
+            # kernel + analytic vjp (dsnetv2 normalizes its 1-D corr too,
+            # dsnet_t2.py:516-518)
+            out = out / jnp.asarray(f1.shape[-1], out.dtype)
+        return out
     if use_pallas and ph > 1:
         out = _corr2d(f1, f2, patch)
         if normalize:

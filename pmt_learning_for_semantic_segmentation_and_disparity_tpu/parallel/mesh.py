@@ -17,6 +17,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def setup_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host entry: ``jax.distributed.initialize`` when a coordinator
+    is configured (args or PMT_COORDINATOR / PMT_NUM_PROCESSES /
+    PMT_PROCESS_ID env vars, which also fall back to jax's own cluster
+    autodetection on TPU pods). No-op on single host. Returns whether a
+    multi-process runtime is active.
+
+    The reference's analogue is the env:// NCCL rendezvous
+    (torch_implementation.py:627-630); here every host runs the SAME SPMD
+    program over the global mesh and only loads its own batch shard
+    (data/pipeline.py).
+    """
+    import os
+
+    coordinator = coordinator or os.environ.get("PMT_COORDINATOR")
+    if num_processes is None and os.environ.get("PMT_NUM_PROCESSES"):
+        num_processes = int(os.environ["PMT_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("PMT_PROCESS_ID"):
+        process_id = int(os.environ["PMT_PROCESS_ID"])
+    if coordinator is None and num_processes is None:
+        return jax.process_count() > 1
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_count() > 1
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     axes: Sequence[str] = (DATA_AXIS,),

@@ -111,11 +111,18 @@ class CheckpointManager:
             step=restored["step"],
         )
 
+    # head-rename aliases for by-name restore: a checkpoint trained with the
+    # plain seg head (cdu11_out) loads into the convDeconvOut=2 deconv head
+    # (convOutput) — the reference remaps module.Conv2DownUp11.1.ct2d.weight
+    # -> module.convOutput.ct2d.weight (utilTorch_loadweight.py:34-38).
+    _HEAD_ALIASES = {"convOutput": "cdu11_out"}
+
     def restore_params_partial(self, state: TrainState,
                                step: Optional[int] = None) -> TrainState:
         """By-name partial restore: load every leaf whose path exists and
-        whose shape matches; skip the rest — the jax equivalent of the
-        reference's head-remapping loader (utilTorch_loadweight.py:30-46)."""
+        whose shape matches, with head-rename aliasing; skip the rest — the
+        jax equivalent of the reference's head-remapping loader
+        (utilTorch_loadweight.py:30-46)."""
         if step is None:
             step = self._mgr.latest_step()
         restored = self._mgr.restore(step, args=ocp.args.StandardRestore())
@@ -123,9 +130,18 @@ class CheckpointManager:
         flat_old = dict(
             jax.tree_util.tree_flatten_with_path(restored["params"])[0]
         ) if "params" in restored else {}
+        old_by_str = {jax.tree_util.keystr(p): v for p, v in flat_old.items()}
         out = []
         for path, leaf in flat_new:
             old = flat_old.get(path)
+            if old is None:
+                key = jax.tree_util.keystr(path)
+                for new_name, old_name in self._HEAD_ALIASES.items():
+                    if f"['{new_name}']" in key:
+                        old = old_by_str.get(
+                            key.replace(f"['{new_name}']", f"['{old_name}']")
+                        )
+                        break
             if old is not None and np.shape(old) == np.shape(leaf):
                 out.append(old)
             else:

@@ -26,6 +26,37 @@ from .state import TrainState
 from .step import make_eval_step, make_train_step
 
 
+def _import_torch_checkpoint(cfg: PMTConfig, path: str):
+    """Torch .pth(.tar) -> {params, batch_stats} for the nets with full
+    importers (utils/torch_import.py)."""
+    from ..utils.torch_import import (
+        import_dsnetv2,
+        import_minidsnet_ext,
+        load_torch_state_dict,
+    )
+
+    sd = load_torch_state_dict(path)
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    net = cfg.model.net
+    if net in ("sdnet_mini_ext",):
+        params, stats = import_minidsnet_ext(
+            sd, labels=cfg.data.n_labels, use_att=cfg.model.use_att,
+            conv_deconv_out=cfg.model.conv_deconv_out,
+            ablation=cfg.model.ablation,
+        )
+    elif net == "sdnetv2":
+        params, stats = import_dsnetv2(sd, labels=cfg.data.n_labels)
+    else:
+        raise NotImplementedError(
+            f"torch-checkpoint import not wired for -net {net} "
+            "(available: sdnet_mini_ext, sdnetv2)")
+    import jax.numpy as jnp
+
+    as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    return {"params": as_jnp(params), "batch_stats": as_jnp(stats)}
+
+
 class Session:
     def __init__(self, cfg: PMTConfig, mesh=None, use_mesh: bool = True):
         cfg.validate()
@@ -67,6 +98,24 @@ class Session:
             {"params": jax.random.PRNGKey(cfg.run.seed), "dropout": jax.random.PRNGKey(1)},
             left, left, train=False, **kwargs,
         )
+        if cfg.model.pretrained_path:
+            # pretrained densenet121 backbone import (the reference's
+            # torch-hub pretrained=True default, models/densenet.py:248-258)
+            from ..utils.torch_import import (
+                apply_backbone_params,
+                import_densenet121,
+                load_torch_state_dict,
+                ref_densenet_to_torchvision_keys,
+            )
+
+            if cfg.model.backbone != "densenet":
+                raise NotImplementedError(
+                    "-pretrained_path import is wired for densenet121")
+            sd = load_torch_state_dict(cfg.model.pretrained_path)
+            if "features.conv0.weight" not in sd:
+                sd = ref_densenet_to_torchvision_keys(sd)
+            bp, bs = import_densenet121(sd)
+            variables = apply_backbone_params(dict(variables), bp, bs)
         self.tx = build_optimizer(
             cfg.optim, cfg.model.net, len(cfg.loss.losses), steps_per_epoch
         )
@@ -184,9 +233,12 @@ class Session:
             cfg.data, cfg.model.output_activation, cfg.model.max_disp, norm,
             train=cfg.run.train,
         )
+        # multi-host: every host loads only its slice of the global batch
+        pi, pc = jax.process_index(), jax.process_count()
         train_loader = DataLoader(
             trainset, cfg.run.batch, shuffle=True,
             num_workers=cfg.data.num_workers, seed=cfg.run.seed,
+            process_index=pi, process_count=pc,
         )
         n_dev = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
         if cfg.run.batch % n_dev:
@@ -207,6 +259,7 @@ class Session:
             testset, eval_batch, shuffle=False,
             num_workers=cfg.data.num_workers, drop_last=False,
             bucket_hw=cfg.data.eval_shape, pad_batch=True,
+            process_index=pi, process_count=pc,
         )
         first = next(iter(train_loader))
         self.init_state(first, steps_per_epoch=len(train_loader))
@@ -235,8 +288,19 @@ class Session:
         utilTorch_loadweight.py:6-115): full state + start epoch + metric
         history — or by-name partial params when the head layout changed
         (hanet / convDeconvOut / deeplab_mod trigger by-name loading in the
-        reference, torch_implementation.py:865)."""
+        reference, torch_implementation.py:865).
+
+        A ``.pth``/``.pth.tar`` path imports a TORCH reference checkpoint
+        (flagship or dsnetv2) through utils.torch_import instead — the
+        migration path for users bringing reference-trained weights."""
         cfg = self.cfg
+        if ckpt_dir.endswith((".pth", ".pth.tar", ".pt")):
+            self.state = self.state.replace(
+                **_import_torch_checkpoint(cfg, ckpt_dir)
+            )
+            if self.mesh is not None:
+                self.state = replicate(self.mesh, self.state)
+            return 0, []
         src = CheckpointManager(ckpt_dir)
         by_name = (cfg.model.hanet or bool(cfg.model.conv_deconv_out)
                    or cfg.model.net == "deeplab_mod")

@@ -361,8 +361,62 @@ def make_eval_step(cfg: PMTConfig, model, mesh: Optional[Mesh] = None):
             m.update(logs)
         return m
 
-    def _step(params, batch_stats, batch, rng):
+    def _forward_eval(params, batch_stats, batch, rng):
+        """Plain / tiled / TTA forward, per cfg.run (eval only).
+
+        slide_window: the reference's divideNetOutput / slideWindowInfer
+        (torch_implementation.py:69-115, 187-232) — windows run as ONE
+        batched forward. tta: SegmentatorTTA hflip(+scales) average for
+        the mono deeplab net (models_deeplab/tta.py:28-42)."""
+        if cfg.run.slide_window:
+            if cfg.model.edges or ot == "multitask":
+                raise ValueError(
+                    "-slide_window tiling is defined for the plain stereo "
+                    "nets (the reference gates it the same way, "
+                    "torch_implementation.py:119)")
+            from ..evaluation.tiled import tiled_inference
+
+            window, stride, soft = (
+                ((512, 512), (256, 256), True) if cfg.run.slide_window == 2
+                else ((256, 512), (128, 256), False)
+            )
+
+            def pair(l, r):
+                b2 = dict(batch)
+                b2["left"], b2["right"] = l, r
+                _, o = forward(params, batch_stats, b2, rng, False)
+                return o
+
+            tiled = tiled_inference(pair, batch["left"], batch["right"],
+                                    window=window, stride=stride,
+                                    softmax_seg=soft)
+            tiled.pop("window_counts", None)
+            out = dict(tiled)
+            out.setdefault("seg2", out["seg1"])
+            out["disp2"] = out["disp1"]
+            return out
         _, out = forward(params, batch_stats, batch, rng, False)
+        if cfg.run.tta:
+            if ot != "deeplab":
+                raise ValueError(
+                    "-tta 1 only applies to the mono deeplab net "
+                    "(SegmentatorTTA, models_deeplab/tta.py)")
+            from ..evaluation.tta import tta as tta_fn
+
+            def fwd_seg(x):
+                b2 = dict(batch)
+                b2["left"] = b2["right"] = x
+                _, o = forward(params, batch_stats, b2, rng, False)
+                return o["seg1"]
+
+            seg = tta_fn(fwd_seg, batch["left"],
+                         scales=list(cfg.run.tta_scales) or None)
+            out = dict(out)
+            out["seg1"] = out["seg2"] = seg
+        return out
+
+    def _step(params, batch_stats, batch, rng):
+        out = _forward_eval(params, batch_stats, batch, rng)
         out_v = {k: out[k] for k in _EVAL_OUT_KEYS
                  if out.get(k) is not None}
         batch_v = {k: batch[k] for k in _EVAL_BATCH_KEYS if k in batch}

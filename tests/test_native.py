@@ -58,3 +58,28 @@ def test_native_activation_modes(fixture):
     tanh = N.decode_roses_batch(lp, rp, dp, sp, ip, hw=(64, 96),
                                 activation="tanh", max_d=100.0)
     assert tanh["disp"].min() >= -1.0
+
+
+def test_dataset_native_path_matches_numpy(fixture):
+    """The wired-in loader fast path (StereoSegDataset.native_io) produces
+    the same samples as the numpy path, through augmentation."""
+    lp = D.read_manifest(fixture["left"])
+    rp = D.read_manifest(fixture["right"])
+    dp = D.read_manifest(fixture["disp"])
+    sp = D.read_manifest(fixture["seg"])
+    ip = D.read_manifest(fixture["inst"])
+    norm = np.array([[0, 0, 0], [1, 1, 1]], np.float32)
+
+    def mk(native):
+        return D.StereoSegDataset(
+            list(zip(lp, rp)), list(zip(dp, sp, ip)), 2, 100.0, "roses",
+            norm, output_activation="linear", native_io=native, seed=3,
+        )
+
+    ds_native, ds_numpy = mk("on"), mk("off")
+    assert ds_native._native is not None
+    assert ds_numpy._native is None
+    for i in range(3):
+        a, b = ds_native[i], ds_numpy[i]
+        for k in ("left", "right", "disp", "seg", "edges"):
+            np.testing.assert_allclose(a[k], b[k], atol=2e-5, err_msg=k)

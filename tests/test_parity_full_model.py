@@ -178,3 +178,61 @@ def test_dsnetv2_weight_transport_heads_match():
             f"ours range [{ours.min():.3f},{ours.max():.3f}] vs torch "
             f"[{theirs.min():.3f},{theirs.max():.3f}]"
         )
+
+
+def test_session_restores_torch_checkpoint(tmp_path, oracle_pair):
+    """-load_weights <file.pth.tar> imports a reference torch checkpoint
+    into the Session (the migration path for reference users)."""
+    net, model, grafted, left, right = oracle_pair
+    ckpt = {"state_dict": {f"module.{k}": v
+                           for k, v in net.state_dict().items()},
+            "epoch": 3}
+    path = str(tmp_path / "ref_ckpt.pth.tar")
+    torch.save(ckpt, path)
+
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.training.loop import (
+        _import_torch_checkpoint,
+    )
+
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext"
+    repl = _import_torch_checkpoint(cfg, path)
+    # imported tree == the direct state-dict conversion
+    for a, b in zip(jax.tree_util.tree_leaves(repl["params"]),
+                    jax.tree_util.tree_leaves(grafted["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pretrained_backbone_path(tmp_path):
+    """-pretrained_path imports densenet121 weights into the backbone at
+    init (models/densenet.py:248-258 torch-hub equivalent, offline)."""
+    load_reference_models()
+    from models.densenet import densenet121
+
+    torch.manual_seed(3)
+    dn = densenet121(pretrained=False)
+    path = str(tmp_path / "densenet121.pth")
+    torch.save(dn.state_dict(), path)
+
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.training import (
+        Session,
+    )
+
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini"
+    cfg.model.pretrained_path = path
+    rng = np.random.default_rng(0)
+    batch = {
+        "left": rng.standard_normal((1, 64, 96, 3), dtype=np.float32),
+        "right": rng.standard_normal((1, 64, 96, 3), dtype=np.float32),
+        "seg": np.zeros((1, 64, 96, 2), np.float32),
+        "disp": np.zeros((1, 64, 96, 1), np.float32),
+        "edges": np.zeros((1, 64, 96, 1), np.float32),
+    }
+    s = Session(cfg, use_mesh=False)
+    s.init_state(batch)
+    conv0 = np.asarray(
+        s.state.params["features"]["backbone"]["conv0"]["kernel"]
+    )
+    want = dn.state_dict()["conv0.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(conv0, want)

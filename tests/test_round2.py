@@ -361,3 +361,70 @@ def test_hdf5_source_single_normalization(tmp_path):
     assert s["disp"].shape == (h, w, 1)
     # edges mirror the disp dataset (reference quirk, :144)
     np.testing.assert_allclose(s["edges"][..., 0], disp[0])
+
+
+def test_eval_step_slide_window_wiring(rng):
+    """-slide_window reaches the eval step (VERDICT #10): tiled forward
+    feeds the same per-row metric pack."""
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.training import (
+        make_eval_step,
+    )
+
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini"
+    cfg.run.slide_window = 1
+    model = models.get_network(cfg)
+    b, h, w, c = 1, 32, 64, 2
+    labels = rng.integers(0, c, (b, h, w))
+    batch = {
+        "left": jnp.asarray(rng.standard_normal((b, h, w, 3), dtype=np.float32)),
+        "right": jnp.asarray(rng.standard_normal((b, h, w, 3), dtype=np.float32)),
+        "seg": jnp.asarray(np.eye(c, dtype=np.float32)[labels]),
+        "disp": jnp.asarray(rng.random((b, h, w, 1), dtype=np.float32)),
+        "edges": jnp.zeros((b, h, w, 1), jnp.float32),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["left"], batch["right"], train=False,
+    )
+    ev = make_eval_step(cfg, model, mesh=None)
+    out, m = ev(variables["params"], variables.get("batch_stats", {}),
+                batch, jax.random.PRNGKey(0))
+    assert out["seg1"].shape == (b, h, w, c)
+    assert np.isfinite(np.asarray(m["loss"])).all()
+
+
+def test_eval_step_tta_wiring(rng):
+    """-tta 1 reaches the eval step for the mono deeplab net."""
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.training import (
+        make_eval_step,
+    )
+
+    cfg = PMTConfig()
+    cfg.model.net = "deeplab"
+    cfg.data.dataset_name = "cityscapes"
+    cfg.run.tta = True
+    model = models.get_network(cfg)
+    b, h, w, n = 1, 32, 64, 19
+    labels = rng.integers(0, n, (b, h, w))
+    batch = {
+        "left": jnp.asarray(rng.standard_normal((b, h, w, 3), dtype=np.float32)),
+        "right": jnp.asarray(rng.standard_normal((b, h, w, 3), dtype=np.float32)),
+        "seg": jnp.asarray(np.eye(n + 1, dtype=np.float32)[labels]),
+        "disp": jnp.asarray(rng.random((b, h, w, 1), dtype=np.float32)),
+        "edges": jnp.zeros((b, h, w, 1), jnp.float32),
+    }
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.models.deeplab import (
+        deeplab_preprocess,
+    )
+
+    lp, rp, _ = deeplab_preprocess(batch["left"], batch["right"])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        lp, rp, train=False,
+    )
+    ev = make_eval_step(cfg, model, mesh=None)
+    out, m = ev(variables["params"], variables.get("batch_stats", {}),
+                batch, jax.random.PRNGKey(0))
+    assert out["seg1"].shape == (b, h, w, n)
+    assert np.isfinite(np.asarray(m["pixel_acc1"])).all()
