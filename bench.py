@@ -40,6 +40,7 @@ def measure_tpu() -> float:
     cfg.model.net = "sdnet_mini_ext"
     cfg.model.backbone = "densenet"
     cfg.model.corr_type = "1dcorr"
+    cfg.model.s2d_heads = os.environ.get("PMT_S2D", "1") != "0"
     model = models.get_network(cfg)
 
     key = jax.random.PRNGKey(0)
@@ -75,6 +76,63 @@ def measure_tpu() -> float:
     return BATCH * ITERS / dt
 
 
+def measure_train() -> dict:
+    """Training-step throughput at the reference's training crop (256x512,
+    batch 8, MultiTversky+OHEM stack — BASELINE.md config #3). Per-step
+    host transfer is the honest timer over the axon relay (BENCH_NOTES)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu import (
+        models,
+    )
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.core import (
+        PMTConfig,
+    )
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.training import (
+        TrainState, build_optimizer, make_train_step,
+    )
+
+    th, tw, tb, iters = 256, 512, 8, 8
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext"
+    cfg.model.s2d_heads = os.environ.get("PMT_S2D", "1") != "0"
+    cfg.loss.losses = ("cross_entropy", "lovasz_loss", "tversky_loss",
+                       "ohm_loss")
+    cfg.parallel.bf16 = os.environ.get("PMT_TRAIN_DTYPE", "bf16") == "bf16"
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 2, (tb, th, tw))
+    batch = {
+        "left": jnp.asarray(rng.standard_normal((tb, th, tw, 3),
+                                                dtype=np.float32)),
+        "right": jnp.asarray(rng.standard_normal((tb, th, tw, 3),
+                                                 dtype=np.float32)),
+        "seg": jnp.asarray(np.eye(2, dtype=np.float32)[labels]),
+        "disp": jnp.asarray(rng.random((tb, th, tw, 1), dtype=np.float32)),
+        "edges": jnp.zeros((tb, th, tw, 1), jnp.float32),
+    }
+    model = models.get_network(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["left"][:1], batch["left"][:1], train=False,
+    )
+    tx = build_optimizer(cfg.optim, cfg.model.net, len(cfg.loss.losses), 100)
+    state = TrainState.create(model.apply, variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    step = make_train_step(cfg, model, mesh=None)
+    key = jax.random.PRNGKey(0)
+    state, m = step(state, batch, key)  # compile
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, batch, jax.random.fold_in(key, i))
+        float(m["loss"])  # per-step host sync (axon early-return workaround)
+    dt = time.perf_counter() - t0
+    return {"train_pairs_per_sec_per_chip_256x512": round(tb * iters / dt, 3),
+            "train_loss_finite": bool(np.isfinite(float(m["loss"])))}
+
+
 def load_baseline() -> float:
     p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BASELINE_MEASURED.json")
@@ -88,12 +146,18 @@ def main():
     value = measure_tpu()
     base = load_baseline()
     vs = value / base if base > 0 else 0.0
-    print(json.dumps({
+    out = {
         "metric": "stereo_pairs_per_sec_per_chip_512x960",
         "value": round(value, 3),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(vs, 2),
-    }))
+    }
+    if os.environ.get("PMT_BENCH_TRAIN", "1") != "0":
+        try:
+            out.update(measure_train())
+        except Exception as e:  # keep the headline metric robust
+            out["train_error"] = repr(e)[:200]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -174,6 +174,10 @@ class ModelConfig:
     # models/densenet.py:248-258, without network access)
     pretrained_path: str = ""
     max_disp_psm: int = 192  # PSMNet maxdisp (utilLoadNetwork.py:54)
+    # TPU perf: run the full-resolution small-channel decoder chains in the
+    # space-to-depth domain (ops/s2d.py — exact same function, full MXU
+    # tiles). Checkpoints are identical either way.
+    s2d_heads: bool = True
 
     @property
     def output_type(self) -> str:

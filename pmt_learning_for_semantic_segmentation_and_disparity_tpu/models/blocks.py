@@ -24,10 +24,14 @@ torch_implementation.py:739).
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from flax.linen.dtypes import promote_dtype
+
+from ..ops.s2d import embed_kernel, tile_channel_param
 
 # He-normal with fan_out: normal(0, sqrt(2/(kh*kw*out))) — the reference's
 # init everywhere (dsnet_t2.py:37-43, torch_model.py:260-266).
@@ -50,8 +54,103 @@ def bn_train_mode(module: nn.Module, train: bool) -> bool:
     return train and module.is_mutable_collection("batch_stats")
 
 
+class SameConv(nn.Module):
+    """Stride/dilation-aware SAME conv that owns its ``kernel``/``bias``
+    params directly (paths identical to ``nn.Conv``: ``<name>/kernel``,
+    ``<name>/bias``) so it can apply them EITHER as a plain NHWC conv or —
+    when ``s2d=True`` — as the exact space-to-depth-domain equivalent
+    (ops/s2d.py): the k x k kernel embeds into a 3x3 kernel over 4x the
+    channels, filling the MXU's 128-wide tiles that 32-64-ch full-res convs
+    otherwise waste. Checkpoints are interchangeable between the two modes.
+    """
+
+    features: int
+    kernel: Tuple[int, int]
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    padding: str = "SAME"
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, s2d: bool = False):
+        kh, kw = self.kernel
+        cin = x.shape[-1] // (4 if s2d else 1)
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, cin, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        if s2d:
+            assert (self.stride == 1 and self.dilation == 1
+                    and self.padding == "SAME"), (
+                "s2d conv supports stride=1 dilation=1 SAME only")
+            kernel = embed_kernel(kernel)
+            if bias is not None:
+                bias = tile_channel_param(bias)
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (self.stride, self.stride), self.padding,
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=dn)
+        if bias is not None:
+            y = y + bias
+        return y
+
+
+class PhaseBatchNorm(nn.Module):
+    """BatchNorm applied in the s2d domain while OWNING the original
+    (C,)-shaped variables (names match ``nn.BatchNorm``: params
+    ``scale``/``bias``, batch_stats ``mean``/``var``), so checkpoints are
+    identical to the plain path. Per-channel statistics pool the 4 phase
+    groups — each phase covers the same pixels as the full-res layout, so
+    the result equals full-res BN exactly."""
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1] // 4
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            n, h, w, _ = x.shape
+            xf = x.astype(jnp.float32).reshape(n, h, w, 4, c)
+            mean = xf.mean(axis=(0, 1, 2, 3))
+            mean2 = jnp.mean(xf * xf, axis=(0, 1, 2, 3))
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = mean2 - mean * mean
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        mean4 = tile_channel_param(mean)
+        mul4 = tile_channel_param(jax.lax.rsqrt(var + self.epsilon) * scale)
+        bias4 = tile_channel_param(bias)
+        x, mean4, mul4, bias4 = promote_dtype(
+            x, mean4, mul4, bias4, dtype=self.dtype)
+        return (x - mean4) * mul4 + bias4
+
+
 class ConvBN(nn.Module):
-    """conv('SAME') [+BN] [+ReLU] [+dropout] (dsnet_t2.py:16-46)."""
+    """conv('SAME') [+BN] [+ReLU] [+dropout] (dsnet_t2.py:16-46).
+
+    ``s2d=True`` runs the identical function in the space-to-depth domain
+    (input/output are s2d tensors; see ops/s2d.py)."""
 
     features: int
     kernel: Union[int, Tuple[int, int]] = 3
@@ -65,28 +164,38 @@ class ConvBN(nn.Module):
     dtype: Dtype = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, s2d: bool = False):
         k = self.kernel if isinstance(self.kernel, tuple) else (self.kernel,) * 2
-        x = nn.Conv(
+        x = SameConv(
             self.features,
             k,
-            strides=(self.stride, self.stride),
-            kernel_dilation=(self.dilation, self.dilation),
-            padding=self.padding,
+            stride=self.stride,
+            dilation=self.dilation,
             use_bias=not self.batchnorm,
+            padding=self.padding,
             kernel_init=he_fan_out,
             dtype=self.dtype,
             name="conv",
-        )(x)
+        )(x, s2d=s2d)
         if self.batchnorm:
-            x = nn.BatchNorm(
-                use_running_average=not bn_train_mode(self, train),
-                momentum=0.9,
-                epsilon=1e-5,
-                axis_name=self.axis_name,
-                dtype=None,
-                name="bn",
-            )(x)
+            if s2d:
+                x = PhaseBatchNorm(
+                    use_running_average=not bn_train_mode(self, train),
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    axis_name=self.axis_name,
+                    dtype=None,
+                    name="bn",
+                )(x)
+            else:
+                x = nn.BatchNorm(
+                    use_running_average=not bn_train_mode(self, train),
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    axis_name=self.axis_name,
+                    dtype=None,
+                    name="bn",
+                )(x)
         if self.relu:
             x = nn.relu(x)
         if self.dropout > 0:
@@ -108,19 +217,19 @@ class DeconvBN(nn.Module):
     dtype: Dtype = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, s2d: bool = False):
         k = self.kernel if isinstance(self.kernel, tuple) else (self.kernel,) * 2
         if self.stride == 1:
-            x = nn.Conv(
+            x = SameConv(
                 self.features,
                 k,
-                padding="SAME",
                 use_bias=not self.batchnorm,
                 kernel_init=he_fan_out,
                 dtype=self.dtype,
                 name="deconv",
-            )(x)
+            )(x, s2d=s2d)
         else:
+            assert not s2d, "s2d deconv supports stride=1 only"
             # stride-2 'same' transposed conv (dsnet conv2DT_BA1/2,
             # dsnet_t2.py:149-151): output = stride * input
             x = nn.ConvTranspose(
@@ -134,14 +243,24 @@ class DeconvBN(nn.Module):
                 name="deconv",
             )(x)
         if self.batchnorm:
-            x = nn.BatchNorm(
-                use_running_average=not bn_train_mode(self, train),
-                momentum=0.9,
-                epsilon=1e-5,
-                axis_name=self.axis_name,
-                dtype=None,
-                name="bn",
-            )(x)
+            if s2d:
+                x = PhaseBatchNorm(
+                    use_running_average=not bn_train_mode(self, train),
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    axis_name=self.axis_name,
+                    dtype=None,
+                    name="bn",
+                )(x)
+            else:
+                x = nn.BatchNorm(
+                    use_running_average=not bn_train_mode(self, train),
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    axis_name=self.axis_name,
+                    dtype=None,
+                    name="bn",
+                )(x)
         if self.relu:
             x = nn.relu(x)
         if self.dropout > 0:
@@ -156,18 +275,20 @@ class ConvOut(nn.Module):
 
     features: int
     kernel: int = 3
+    he_init: bool = False
     dtype: Dtype = None
 
     @nn.compact
-    def __call__(self, x):
-        return nn.Conv(
+    def __call__(self, x, s2d: bool = False):
+        return SameConv(
             self.features,
             (self.kernel, self.kernel),
-            padding="SAME",
             use_bias=False,
+            kernel_init=he_fan_out if self.he_init
+            else nn.initializers.lecun_normal(),
             dtype=self.dtype,
             name="conv",
-        )(x)
+        )(x, s2d=s2d)
 
 
 class Conv2DownUp(nn.Module):
@@ -182,7 +303,7 @@ class Conv2DownUp(nn.Module):
     dtype: Dtype = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, s2d: bool = False):
         kw = dict(
             features=self.features,
             kernel=self.kernel,
@@ -191,13 +312,13 @@ class Conv2DownUp(nn.Module):
             axis_name=self.axis_name,
             dtype=self.dtype,
         )
-        x1 = ConvBN(name="c1", **kw)(x, train)
-        x2 = ConvBN(name="c2", **kw)(x1, train)
-        y = ConvBN(name="c3", **kw)(x2, train)
-        y = DeconvBN(name="d3", **kw)(y, train)
+        x1 = ConvBN(name="c1", **kw)(x, train, s2d=s2d)
+        x2 = ConvBN(name="c2", **kw)(x1, train, s2d=s2d)
+        y = ConvBN(name="c3", **kw)(x2, train, s2d=s2d)
+        y = DeconvBN(name="d3", **kw)(y, train, s2d=s2d)
         y = x2 + y
-        y = DeconvBN(name="d4", **kw)(y, train)
+        y = DeconvBN(name="d4", **kw)(y, train, s2d=s2d)
         y = x1 + y
         if not self.last_layer:
             return y
-        return DeconvBN(name="d5", **kw)(y, train)
+        return DeconvBN(name="d5", **kw)(y, train, s2d=s2d)

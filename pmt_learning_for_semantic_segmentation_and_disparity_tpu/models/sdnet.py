@@ -23,8 +23,19 @@ from ..core.registry import MODELS
 from ..losses.multitask import multitask_loss
 from ..ops.correlation import correlation
 from ..ops.resize import resize_bilinear, resize_nearest, upsample_nearest
-from .blocks import Conv2DownUp, ConvBN, ConvOut
+from ..ops.s2d import (
+    depth_to_space,
+    s2d_concat,
+    space_to_depth,
+    tile_phases,
+    to_s2d_nearest,
+)
+from .blocks import Conv2DownUp, ConvBN, ConvOut, SameConv, he_fan_out
 from .pyramid import PiramidNet2
+
+
+def _even_hw(hw: Tuple[int, int]) -> bool:
+    return hw[0] % 2 == 0 and hw[1] % 2 == 0
 
 # (segnet_input, inplane_seg2 @ aspp0) per backbone — dsnet_t2.py:954-1053
 _BACKBONE_DIMS = {
@@ -50,6 +61,7 @@ class SegNetHead(nn.Module):
     labels: int
     dropout: float = 0.0
     axis_name: Optional[str] = None
+    use_s2d: bool = False
 
     @nn.compact
     def __call__(self, x, full_hw: Tuple[int, int], xleft, train: bool = False):
@@ -61,15 +73,31 @@ class SegNetHead(nn.Module):
         x = Conv2DownUp(32, 3, dropout=self.dropout, axis_name=self.axis_name,
                         name="cdu1")(x, train)
         x1 = upsample_nearest(x, 2)
-        x1_1 = resize_nearest(x, (xleft.shape[1], xleft.shape[2]))
-        x1_1 = jnp.concatenate([x1_1, xleft], axis=-1)
-        x1_1 = nn.relu(
-            ConvBN(32, 1, batchnorm=False, axis_name=self.axis_name,
-                   name="conv1d_2")(x1_1, train)
-        )
-        seg = Conv2DownUp(32, 3, last_layer=False, dropout=self.dropout,
-                          axis_name=self.axis_name, name="cdu2")(x1_1, train)
-        seg = ConvOut(self.labels, 3, name="out")(seg)
+        xl_hw = (xleft.shape[1], xleft.shape[2])
+        if self.use_s2d and _even_hw(xl_hw):
+            # identical chain in the space-to-depth domain (ops/s2d.py):
+            # the full-res 32-ch convs fill the MXU tiles this way
+            x1_1 = s2d_concat([to_s2d_nearest(x, xl_hw),
+                               space_to_depth(xleft)])
+            x1_1 = nn.relu(
+                ConvBN(32, 1, batchnorm=False, axis_name=self.axis_name,
+                       name="conv1d_2")(x1_1, train, s2d=True)
+            )
+            seg = Conv2DownUp(32, 3, last_layer=False, dropout=self.dropout,
+                              axis_name=self.axis_name, name="cdu2")(
+                x1_1, train, s2d=True)
+            seg = ConvOut(self.labels, 3, name="out")(seg, s2d=True)
+            seg = depth_to_space(seg)
+        else:
+            x1_1 = resize_nearest(x, xl_hw)
+            x1_1 = jnp.concatenate([x1_1, xleft], axis=-1)
+            x1_1 = nn.relu(
+                ConvBN(32, 1, batchnorm=False, axis_name=self.axis_name,
+                       name="conv1d_2")(x1_1, train)
+            )
+            seg = Conv2DownUp(32, 3, last_layer=False, dropout=self.dropout,
+                              axis_name=self.axis_name, name="cdu2")(x1_1, train)
+            seg = ConvOut(self.labels, 3, name="out")(seg)
         seg = resize_nearest(seg, full_hw)
         return x, x1, seg
 
@@ -113,6 +141,7 @@ class MiniDSNetExt(nn.Module):
         left = input_a[..., :3] if m.edges else input_a
         right = input_b[..., :3] if m.edges else input_b
         full_hw = (left.shape[1], left.shape[2])
+        use_s2d = bool(getattr(m, "s2d_heads", True)) and _even_hw(full_hw)
 
         pyr = PiramidNet2(backbone=backbone, axis_name=ax, name="features")
         if train:
@@ -169,7 +198,8 @@ class MiniDSNetExt(nn.Module):
         # head 1: coarse seg decoder on concatenated deepest features
         x = jnp.concatenate([a4, b4], axis=-1)
         x, x1, seg_branch = SegNetHead(
-            self.labels, dropout=dropout, axis_name=ax, name="segNet"
+            self.labels, dropout=dropout, axis_name=ax, use_s2d=use_s2d,
+            name="segNet"
         )(x, full_hw, xleft0, train)
 
         # cost volume at 1/8 (pyramid-enriched tap 2) — Pallas on TPU
@@ -198,15 +228,30 @@ class MiniDSNetExt(nn.Module):
             y = jnp.concatenate([y1, y], axis=-1)
         y = Conv2DownUp(64, 3, dropout=dropout, axis_name=ax, name="cdu4")(y, train)
 
-        # disparity head
-        y2 = upsample_nearest(y, 8)
-        xl2 = resize_bilinear(xleft2, (y2.shape[1], y2.shape[2]))
-        disp = jnp.concatenate([y2, xl2], axis=-1)
-        disp = nn.relu(ConvBN(64, 1, batchnorm=False, axis_name=ax,
-                              name="conv1d_2")(disp, train))
-        disp = Conv2DownUp(64, 5, last_layer=False, dropout=dropout,
-                           axis_name=ax, name="cdu5")(disp, train)
-        disp = ConvOut(1, 5, name="dispoutConv")(disp)
+        # disparity head. s2d path: s2d(upsample8(y)) == tile(upsample4(y)),
+        # so the 64-ch full-res 5x5 chain never leaves the s2d domain —
+        # identical math (ops/s2d.py), ~full MXU lanes.
+        if use_s2d:
+            y2 = tile_phases(upsample_nearest(y, 4))
+            xl2 = space_to_depth(resize_bilinear(
+                xleft2, (2 * y2.shape[1], 2 * y2.shape[2])))
+            disp = s2d_concat([y2, xl2])
+            disp = nn.relu(ConvBN(64, 1, batchnorm=False, axis_name=ax,
+                                  name="conv1d_2")(disp, train, s2d=True))
+            disp = Conv2DownUp(64, 5, last_layer=False, dropout=dropout,
+                               axis_name=ax, name="cdu5")(disp, train,
+                                                          s2d=True)
+            disp = ConvOut(1, 5, name="dispoutConv")(disp, s2d=True)
+            disp = depth_to_space(disp)
+        else:
+            y2 = upsample_nearest(y, 8)
+            xl2 = resize_bilinear(xleft2, (y2.shape[1], y2.shape[2]))
+            disp = jnp.concatenate([y2, xl2], axis=-1)
+            disp = nn.relu(ConvBN(64, 1, batchnorm=False, axis_name=ax,
+                                  name="conv1d_2")(disp, train))
+            disp = Conv2DownUp(64, 5, last_layer=False, dropout=dropout,
+                               axis_name=ax, name="cdu5")(disp, train)
+            disp = ConvOut(1, 5, name="dispoutConv")(disp)
         disp_out = resize_bilinear(disp, full_hw)
 
         # head 2 feature selection by aspp mode (dsnet_t2.py:1226-1237)
@@ -296,13 +341,25 @@ class MiniDSNetExt(nn.Module):
         s2 = Conv2DownUp(64, 3, dropout=dropout, axis_name=ax, name="cdu10")(s2, train)
 
         if aspp_mod == 2:
-            s2 = resize_nearest(s2, (a0.shape[1], a0.shape[2]))
-            s2 = jnp.concatenate([s2, a0], axis=-1)
-            sb2 = nn.relu(ConvBN(32, 1, batchnorm=False, axis_name=ax,
-                                 name="conv1d_5")(s2, train))
-            sb2 = Conv2DownUp(32, 3, last_layer=False, dropout=dropout,
-                              axis_name=ax, name="cdu11")(sb2, train)
-            sb2 = ConvOut(self.labels, 3, name="cdu11_out")(sb2)
+            a0_hw = (a0.shape[1], a0.shape[2])
+            if use_s2d and _even_hw(a0_hw):
+                s2_s = s2d_concat([to_s2d_nearest(s2, a0_hw),
+                                   space_to_depth(a0)])
+                sb2 = nn.relu(ConvBN(32, 1, batchnorm=False, axis_name=ax,
+                                     name="conv1d_5")(s2_s, train, s2d=True))
+                sb2 = Conv2DownUp(32, 3, last_layer=False, dropout=dropout,
+                                  axis_name=ax, name="cdu11")(sb2, train,
+                                                              s2d=True)
+                sb2 = ConvOut(self.labels, 3, name="cdu11_out")(sb2, s2d=True)
+                sb2 = depth_to_space(sb2)
+            else:
+                s2 = resize_nearest(s2, a0_hw)
+                s2 = jnp.concatenate([s2, a0], axis=-1)
+                sb2 = nn.relu(ConvBN(32, 1, batchnorm=False, axis_name=ax,
+                                     name="conv1d_5")(s2, train))
+                sb2 = Conv2DownUp(32, 3, last_layer=False, dropout=dropout,
+                                  axis_name=ax, name="cdu11")(sb2, train)
+                sb2 = ConvOut(self.labels, 3, name="cdu11_out")(sb2)
             seg_branch2 = resize_nearest(sb2, full_hw)
         else:
             if self.variant in ("piramid", "piramid_res"):
@@ -311,26 +368,35 @@ class MiniDSNetExt(nn.Module):
                 fskip = a_py0
             else:
                 fskip = xleft1
-            s2 = resize_nearest(s2, (fskip.shape[1], fskip.shape[2]))
-            s2 = jnp.concatenate([s2, fskip], axis=-1)
+            fskip_hw = (fskip.shape[1], fskip.shape[2])
+            chain_s2d = use_s2d and _even_hw(fskip_hw)
+            if chain_s2d:
+                s2 = s2d_concat([to_s2d_nearest(s2, fskip_hw),
+                                 space_to_depth(fskip)])
+            else:
+                s2 = resize_nearest(s2, fskip_hw)
+                s2 = jnp.concatenate([s2, fskip], axis=-1)
             sb2 = nn.relu(ConvBN(32, 1, batchnorm=False, axis_name=ax,
-                                 name="conv1d_5")(s2, train))
+                                 name="conv1d_5")(s2, train, s2d=chain_s2d))
             sb2 = Conv2DownUp(32, 3, last_layer=False,
                               dropout=dropout if not m.conv_deconv_out else 0.0,
-                              axis_name=ax, name="cdu11")(sb2, train)
+                              axis_name=ax, name="cdu11")(sb2, train,
+                                                          s2d=chain_s2d)
             if m.conv_deconv_out:
-                sb2_2 = nn.Conv(self.labels, (3, 3), padding="SAME",
-                                use_bias=False,
-                                kernel_init=nn.initializers.variance_scaling(
-                                    2.0, "fan_out", "normal"),
-                                name="convOutput2")(sb2)
+                sb2_2 = SameConv(self.labels, (3, 3), use_bias=False,
+                                 kernel_init=he_fan_out,
+                                 name="convOutput2")(sb2, s2d=chain_s2d)
                 if m.conv_deconv_out == 2:
-                    sb2_1 = ConvOut(self.labels, 3, name="convOutput")(sb2)
+                    sb2_1 = ConvOut(self.labels, 3, name="convOutput")(
+                        sb2, s2d=chain_s2d)
                 else:
                     sb2_1 = 0.0
                 seg_branch2 = sb2_1 + sb2_2
             else:
-                seg_branch2 = ConvOut(self.labels, 3, name="cdu11_out")(sb2)
+                seg_branch2 = ConvOut(self.labels, 3, name="cdu11_out")(
+                    sb2, s2d=chain_s2d)
+            if chain_s2d:
+                seg_branch2 = depth_to_space(seg_branch2)
             if self.variant in ("piramid", "piramid_res"):
                 # these variants resize the head output back to full res
                 # with nearest (dsnet_t2.py:1562, 2392)
@@ -374,6 +440,7 @@ class MiniDSNet(nn.Module):
         left = input_a[..., :3] if m.edges else input_a
         right = input_b[..., :3] if m.edges else input_b
         full_hw = (left.shape[1], left.shape[2])
+        use_s2d = bool(getattr(m, "s2d_heads", True)) and _even_hw(full_hw)
 
         pyr = PiramidNet2(backbone=m.backbone, axis_name=ax, name="features")
         a = pyr(left, train)
@@ -392,7 +459,7 @@ class MiniDSNet(nn.Module):
 
         x = jnp.concatenate([a4, b4], axis=-1)
         x, x1, seg_branch = SegNetHead(
-            self.labels, axis_name=ax, name="segNet"
+            self.labels, axis_name=ax, use_s2d=use_s2d, name="segNet"
         )(x, full_hw, xleft0, train)
 
         y = correlation(a_py2, b_py2, patch, normalize=(m.corr_type != "1dcorr"))
@@ -403,14 +470,26 @@ class MiniDSNet(nn.Module):
         y = jnp.concatenate([y1, y], axis=-1)
         y = Conv2DownUp(64, 3, axis_name=ax, name="cdu4")(y, train)
 
-        y2 = upsample_nearest(y, 8)
-        xl2 = resize_bilinear(xleft2, (y2.shape[1], y2.shape[2]))
-        disp = jnp.concatenate([y2, xl2], axis=-1)
-        disp = nn.relu(ConvBN(64, 1, batchnorm=False, axis_name=ax,
-                              name="conv1d_2")(disp, train))
-        disp = Conv2DownUp(64, 5, last_layer=False, axis_name=ax,
-                           name="cdu5")(disp, train)
-        disp = ConvOut(1, 5, name="dispoutConv")(disp)
+        if use_s2d:
+            y2 = tile_phases(upsample_nearest(y, 4))
+            xl2 = space_to_depth(resize_bilinear(
+                xleft2, (2 * y2.shape[1], 2 * y2.shape[2])))
+            disp = s2d_concat([y2, xl2])
+            disp = nn.relu(ConvBN(64, 1, batchnorm=False, axis_name=ax,
+                                  name="conv1d_2")(disp, train, s2d=True))
+            disp = Conv2DownUp(64, 5, last_layer=False, axis_name=ax,
+                               name="cdu5")(disp, train, s2d=True)
+            disp = ConvOut(1, 5, name="dispoutConv")(disp, s2d=True)
+            disp = depth_to_space(disp)
+        else:
+            y2 = upsample_nearest(y, 8)
+            xl2 = resize_bilinear(xleft2, (y2.shape[1], y2.shape[2]))
+            disp = jnp.concatenate([y2, xl2], axis=-1)
+            disp = nn.relu(ConvBN(64, 1, batchnorm=False, axis_name=ax,
+                                  name="conv1d_2")(disp, train))
+            disp = Conv2DownUp(64, 5, last_layer=False, axis_name=ax,
+                               name="cdu5")(disp, train)
+            disp = ConvOut(1, 5, name="dispoutConv")(disp)
         disp_out = resize_bilinear(disp, full_hw)
 
         return {"seg1": seg_branch, "disp1": disp_out,

