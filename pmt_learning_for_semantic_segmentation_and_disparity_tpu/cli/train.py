@@ -33,19 +33,30 @@ def main(argv=None):
         if history:
             print("final eval:", history[-1])
     else:
-        import numpy as np
+        import jax
 
         from ..data.datasets import build_datasets, normalization_for
         from ..data.pipeline import DataLoader
+        from ..parallel import DATA_AXIS
 
         norm = normalization_for(cfg.model.backbone, cfg.model.net)
         _, testset = build_datasets(
             cfg.data, cfg.model.output_activation, cfg.model.max_disp, norm,
             train=False,
         )
+        # batch must shard over the mesh: round the requested batch up to a
+        # device multiple and mask the padded rows (Session.evaluate drops
+        # them, so metrics equal a batch-1 single-device eval — the
+        # reference's test_model runs batch 1, torch_implementation.py:450)
+        n_dev = (session.mesh.shape[DATA_AXIS]
+                 if session.mesh is not None else 1)
+        eval_batch = max(n_dev, (min(cfg.run.batch, max(1, len(testset)))
+                                 // n_dev) * n_dev)
         loader = DataLoader(
-            testset, 1, shuffle=False, drop_last=False,
-            bucket_hw=cfg.data.eval_shape,
+            testset, eval_batch, shuffle=False, drop_last=False,
+            bucket_hw=cfg.data.eval_shape, pad_batch=True,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         )
         first = next(iter(loader))
         session.init_state(first)

@@ -14,5 +14,9 @@ from .labels import (  # noqa: F401
     CITYSCAPES_LABELS,
 )
 from .pipeline import DataLoader, prefetch_to_mesh, pad_to_bucket  # noqa: F401
-from .synthetic import make_roses_fixture, apply_fixture_to_config  # noqa: F401
+from .synthetic import (  # noqa: F401
+    apply_fixture_to_config,
+    make_cityscapes_fixture,
+    make_roses_fixture,
+)
 from . import imageio  # noqa: F401

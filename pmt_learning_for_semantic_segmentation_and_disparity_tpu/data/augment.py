@@ -34,10 +34,18 @@ _SCALE_RANGES = {  # utilTorchDataLoader.py:409-421
 }
 
 
-def _cityscapes_scale_range(crop_h: int) -> Tuple[float, float]:
-    upper = 1.2 if crop_h < 512 else 1.5
-    lower = np.ceil(crop_h / 1024 * 100) / 100
-    return (lower, upper)
+def _cityscapes_scale_range(
+    crop_hw: Tuple[int, int], img_hw: Tuple[int, int]
+) -> Tuple[float, float]:
+    """utilTorchDataLoader.py:409-421 hardcodes 1024-tall sources
+    (lower = crop_h/1024). Generalized to the actual image size so the
+    scaled image always covers the crop in BOTH dims — identical to the
+    reference on real 1024x2048 cityscapes with its 1:2 crops."""
+    ch, cw = crop_hw
+    h, w = img_hw
+    upper = 1.2 if ch < 512 else 1.5
+    lower = max(np.ceil(ch / h * 100), np.ceil(cw / w * 100)) / 100
+    return (lower, max(upper, lower))
 
 
 @dataclass
@@ -70,7 +78,8 @@ class RandomCropAugment:
 
         if self.resize_img and rng.random() < 0.8:
             if self.dataset_name == "cityscapes":
-                lower, upper = _cityscapes_scale_range(self.output_size[0])
+                lower, upper = _cityscapes_scale_range(
+                    self.output_size, imgs[0].shape[:2])
             else:
                 lower, upper = _SCALE_RANGES[self.dataset_name]
             scale = round(float(rng.uniform(lower, upper)), 2)

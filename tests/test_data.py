@@ -162,7 +162,11 @@ def test_hdf5_dataset_source(tmp_path):
     assert len(ds) == 3
     raw = ds.load_raw(1)
     assert raw["left"].shape == (32, 48, 3)
-    assert raw["left"].max() <= 1.0  # /255 path
+    # load_raw keeps the 0-255 convention (normalization happens exactly
+    # once, in __getitem__ — the reference's hdf5 double-/255 is fixed)
+    assert raw["left"].max() > 1.0
+    sample = ds[1]
+    assert sample["left"].max() <= 1.0 + 1e-6
 
 
 def test_only_test_mode(fixture_dir):
