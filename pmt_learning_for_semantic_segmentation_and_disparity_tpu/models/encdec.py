@@ -229,8 +229,54 @@ class _ResBlock(nn.Module):
         return nn.relu(y + res)
 
 
+class _BasicResBlock(nn.Module):
+    """torchvision BasicBlock (resnet18/34, expansion 1): 3x3 s -> 3x3,
+    identity (or 1x1-projected) skip (reference encoder.py:10-13 channel
+    probe handles both block types)."""
+
+    planes: int
+    stride: int = 1
+    down: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        res = x
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
+                    padding=[(1, 1)] * 2, use_bias=False,
+                    kernel_init=he_fan_out, name="c1")(x)
+        y = _abn(y, self, train, self.axis_name, "b1")
+        y = nn.Conv(self.planes, (3, 3), padding=[(1, 1)] * 2,
+                    use_bias=False, kernel_init=he_fan_out, name="c2")(y)
+        y = nn.BatchNorm(use_running_average=not bn_train_mode(self, train),
+                         momentum=0.9, epsilon=1e-5, axis_name=self.axis_name,
+                         dtype=None, name="b2")(y)
+        if self.down:
+            res = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
+                          use_bias=False, kernel_init=he_fan_out,
+                          name="down")(x)
+            res = nn.BatchNorm(use_running_average=not bn_train_mode(self, train),
+                               momentum=0.9, epsilon=1e-5,
+                               axis_name=self.axis_name, dtype=None,
+                               name="down_bn")(res)
+        return nn.relu(y + res)
+
+
+# enc_type -> (stage block counts, bottleneck?) — the torchvision resnets
+# the reference's create_encoder actually reaches (encoder.py:17-36;
+# resnext/senet branches are dead there: `import pretrainedmodels` is
+# commented out at encoder.py:3, so those names NameError in the reference)
+_RESNET_LAYERS = {
+    "resnet18": ((2, 2, 2, 2), False),
+    "resnet34": ((3, 4, 6, 3), False),
+    "resnet50": ((3, 4, 6, 3), True),
+    "resnet101": ((3, 4, 23, 3), True),
+    "resnet152": ((3, 8, 36, 3), True),
+}
+
+
 class EncoderDecoderNet(nn.Module):
-    """models_deeplab/net.py:12-79: resnet50 5-stage encoder, per-scale
+    """models_deeplab/net.py:12-79: resnet 5-stage encoder, per-scale
     decoders, hypercolumn concat of the 5 decoder maps, 1x1+ABN+1x1 logits.
     """
 
@@ -242,8 +288,8 @@ class EncoderDecoderNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, right=None, train: bool = False, **_):
-        assert self.enc_type in ("resnet50", "resnet101")
-        layers = (3, 4, 6, 3) if self.enc_type == "resnet50" else (3, 4, 23, 3)
+        assert self.enc_type in _RESNET_LAYERS, self.enc_type
+        layers, bottleneck = _RESNET_LAYERS[self.enc_type]
         ax = self.axis_name
         Dec = _DECODERS[self.dec_type]
         nf = self.num_filters
@@ -258,12 +304,14 @@ class EncoderDecoderNet(nn.Module):
         e1 = max_pool_3x3_s2(e)
         e = e1
         feats = []
+        Block = _ResBlock if bottleneck else _BasicResBlock
         for li, (planes, n) in enumerate(zip((64, 128, 256, 512), layers)):
             for bi in range(n):
                 stride = 2 if (bi == 0 and li > 0) else 1
-                down = bi == 0
-                e = _ResBlock(planes, stride, down, ax,
-                              name=f"l{li + 1}_b{bi}")(e, train)
+                # BasicBlock layer1 keeps 64ch at stride 1 -> identity skip
+                down = bi == 0 and (bottleneck or li > 0)
+                e = Block(planes, stride, down, ax,
+                          name=f"l{li + 1}_b{bi}")(e, train)
             feats.append(e)
         e2, e3, e4, e5 = feats  # /4 /8 /16 /32
 

@@ -32,3 +32,20 @@ def test_base_oc_attention():
     vs = m.init({"params": jax.random.PRNGKey(0)}, x)
     out = m.apply(vs, x, rngs={"dropout": jax.random.PRNGKey(1)})
     assert out.shape == (1, 8, 8, 32)
+
+
+@pytest.mark.parametrize("enc", ["resnet18", "resnet34", "resnet152"])
+def test_encdec_basicblock_and_deep_encoders(enc):
+    """The torchvision resnets create_encoder actually reaches
+    (encoder.py:17-36): BasicBlock 18/34 (expansion 1, identity layer1
+    skip) and Bottleneck 152 — resnext/senet are dead in the reference
+    (encoder.py:3 pretrainedmodels import commented out)."""
+    m = EncoderDecoderNet(labels=5, enc_type=enc)
+    x = jnp.zeros((1, 64, 64, 3))
+    vs = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = m.apply(vs, x, train=False, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert out["seg1"].shape == (1, 64, 64, 5)
+    if enc == "resnet18":
+        # layer1 BasicBlocks must have identity skips (no down projection)
+        p = vs["params"]
+        assert "down" not in p["l1_b0"], "resnet18 layer1 must not project"
