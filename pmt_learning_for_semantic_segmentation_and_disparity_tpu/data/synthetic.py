@@ -36,18 +36,24 @@ def make_roses_fixture(
     }
 
     def synth(i):
-        # piecewise scene: random blobs of 'branch' over background
-        left = rng.integers(0, 255, (h, w, 3), np.uint8)
-        # depth png like scripts/obtainDispFromDepth.py writes: uint8 depth
-        depth = rng.integers(10, 200, (h, w), np.uint8)
-        # seg: blue channel > 128 => branch
-        seg = np.zeros((h, w, 3), np.uint8)
+        # piecewise scene: random blobs of 'branch' over background. The
+        # blobs are BRIGHT in the image (learnable signal, not independent
+        # noise) so training on the fixture can actually converge — the
+        # overfit smoke (tools/overfit_smoke.py) depends on this.
         mask = np.zeros((h, w), np.uint8)
         for _ in range(4):
             cy, cx = rng.integers(0, h), rng.integers(0, w)
             r = int(rng.integers(10, 60))
             yy, xx = np.ogrid[:h, :w]
             mask |= ((yy - cy) ** 2 + (xx - cx) ** 2 < r * r).astype(np.uint8)
+        left = rng.integers(0, 100, (h, w, 3)).astype(np.uint8)
+        left[mask > 0] = 155 + left[mask > 0]  # bright branch pixels
+        # depth png like scripts/obtainDispFromDepth.py writes: uint8 depth;
+        # branches nearer (learnable depth cue)
+        depth = np.where(mask > 0, rng.integers(10, 40, (h, w)),
+                         rng.integers(120, 200, (h, w))).astype(np.uint8)
+        # seg: blue channel > 128 => branch
+        seg = np.zeros((h, w, 3), np.uint8)
         seg[..., 0] = mask * 200  # BGR on disk: blue channel
         inst = (mask * rng.integers(1, 5)).astype(np.uint8)
         # right = left shifted by a couple px (cheap stereo-ish)

@@ -57,9 +57,22 @@ class Bottleneck(nn.Module):
 
 
 class ResNetDeeplabFeatures(nn.Module):
+    """Two trunk flavors behind one module:
+
+    * ``stem='7x7'``, ``multigrid=True`` — the deeplab_mod dilated resnet
+      (models/resnet_deeplab.py:45-170): 7x7/2 stem, multi-grid (1,2,4)
+      in the last stage.
+    * ``stem='3x3x3'``, ``multigrid=False`` — HANet's ResNet3X3
+      (models_hanet/Resnet.py:137-221 + resnet_pytorch.py:96-139 variant
+      'D'): three 3x3 convs (64, 64, 128) then maxpool, uniform dilation
+      (no multi-grid) in layers 3/4.
+    """
+
     layers: Tuple[int, int, int, int] = (3, 4, 23, 3)
     output_stride: int = 16
     axis_name: Optional[str] = None
+    stem: str = "7x7"
+    multigrid: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
@@ -71,14 +84,30 @@ class ResNetDeeplabFeatures(nn.Module):
             raise NotImplementedError
         mg = (1, 2, 4)
 
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not bn_train_mode(self, train),
+                momentum=0.9, epsilon=1e-5, axis_name=self.axis_name,
+                dtype=None, name=name,
+            )
+
         taps = []
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, kernel_init=he_fan_out, name="conv1")(x)
-        x = nn.BatchNorm(
-            use_running_average=not bn_train_mode(self, train), momentum=0.9, epsilon=1e-5,
-            axis_name=self.axis_name, dtype=None, name="bn1",
-        )(x)
-        x = nn.relu(x)
+        if self.stem == "3x3x3":
+            x = nn.Conv(64, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2,
+                        use_bias=False, kernel_init=he_fan_out,
+                        name="conv1")(x)
+            x = nn.relu(bn("bn1")(x))
+            x = nn.Conv(64, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                        kernel_init=he_fan_out, name="conv2")(x)
+            x = nn.relu(bn("bn2")(x))
+            x = nn.Conv(128, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                        kernel_init=he_fan_out, name="conv3")(x)
+            x = nn.relu(bn("bn3")(x))
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                        use_bias=False, kernel_init=he_fan_out,
+                        name="conv1")(x)
+            x = nn.relu(bn("bn1")(x))
         taps.append(x)
         x = max_pool_3x3_s2(x)
 
@@ -86,7 +115,7 @@ class ResNetDeeplabFeatures(nn.Module):
         for li, (planes, nblocks, stride, dil) in enumerate(
             zip((64, 128, 256, 512), self.layers, strides, dils)
         ):
-            if li == 3:  # multi-grid unit (resnet_deeplab.py:94-111)
+            if li == 3 and self.multigrid:  # multi-grid (resnet_deeplab.py:94-111)
                 for bi, g in enumerate(mg):
                     down = bi == 0 and (stride != 1 or inplanes != planes * 4)
                     x = Bottleneck(

@@ -4,9 +4,10 @@ HANet-style deeplabV3plus ResNet-101 feature extractor.
 Reference: models/dsnet_t2.py:2426-2729 + models_hanet/resnet_pytorch.py:70-232.
 The return_layers backbone yields (dec0_up 256@/8, high_level 1024@/8,
 middle_level 512@/8, dec0_fine 48@/4), consumed as (a4, py2, py1, py0).
-Our trunk is the dilated ResNet-101 (output_stride 8) from
-resnet_deeplab.py; the reference's 3x3x3 stem is collapsed to the standard
-7x7 stem (torchvision parameterization — function space superset).
+Our trunk is the dilated ResNet-101 (output_stride 8) with HANet's
+ResNet3X3 stem — three 3x3 convs (64, 64, 128) then maxpool — and uniform
+variant-'D' dilation, matching models_hanet/Resnet.py:137-221 +
+resnet_pytorch.py:96-139 for weight-import parity.
 """
 from __future__ import annotations
 
@@ -34,7 +35,7 @@ class DeeplabV3PlusFeatures(nn.Module):
     def __call__(self, x, train: bool = False):
         taps = ResNetDeeplabFeatures(
             (3, 4, 23, 3), output_stride=8, axis_name=self.axis_name,
-            name="trunk",
+            stem="3x3x3", multigrid=False, name="trunk",
         )(x, train)
         _, low, middle, high, final = taps  # /2,/4,/8,/8,/8 (os=8)
         a = ASPP(output_stride=8, axis_name=self.axis_name, name="aspp")(

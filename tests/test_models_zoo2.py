@@ -89,6 +89,24 @@ def test_ext_dlab():
     assert out["seg2"].shape == (1, 32, 64, 2)
 
 
+def test_ext_dlab_hanet_resnet3x3_stem():
+    """The dlab trunk must use HANet's ResNet3X3 stem — three 3x3 convs
+    (64, 64, 128) — not the torchvision 7x7 stem, so HANet checkpoints
+    import by name (models_hanet/Resnet.py:149-158)."""
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext_dlab"
+    model = models.get_network(cfg)
+    left = jnp.zeros((1, 32, 64, 3), jnp.float32)
+    vs = model.init({"params": jax.random.PRNGKey(0)}, left, left,
+                    train=False)
+    trunk = vs["params"]["features"]["trunk"]
+    assert trunk["conv1"]["kernel"].shape == (3, 3, 3, 64)
+    assert trunk["conv2"]["kernel"].shape == (3, 3, 64, 64)
+    assert trunk["conv3"]["kernel"].shape == (3, 3, 64, 128)
+    # variant 'D': plain blocks in layer4 (no multi-grid naming)
+    assert "layer4_block0" in trunk and "layer4_block2" in trunk
+
+
 def test_hanet_attention():
     from pmt_learning_for_semantic_segmentation_and_disparity_tpu.models.hanet import (
         HANetConv,
