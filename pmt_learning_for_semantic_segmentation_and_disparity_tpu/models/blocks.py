@@ -85,6 +85,20 @@ class SameConv(nn.Module):
             assert (self.stride == 1 and self.dilation == 1
                     and self.padding == "SAME"), (
                 "s2d conv supports stride=1 dilation=1 SAME only")
+            if kh == kw == 1:
+                # 1x1 convs commute with s2d as a per-phase channel matmul
+                # (block-diagonal over phases) — embedding one as a dense
+                # 3x3 4Cx4C' kernel would inflate FLOPs 36x
+                x, kernel, bias = promote_dtype(x, kernel, bias,
+                                                dtype=self.dtype)
+                n, h, w, _ = x.shape
+                y = jnp.einsum(
+                    "nhwpc,cd->nhwpd",
+                    x.reshape(n, h, w, 4, cin), kernel[0, 0])
+                y = y.reshape(n, h, w, 4 * self.features)
+                if bias is not None:
+                    y = y + tile_channel_param(bias)
+                return y
             kernel = embed_kernel(kernel)
             if bias is not None:
                 bias = tile_channel_param(bias)

@@ -143,3 +143,15 @@ def test_flagship_s2d_matches_plain(key):
         np.testing.assert_allclose(
             np.asarray(o_on[h]) / scale, np.asarray(o_off[h]) / scale,
             atol=5e-4, err_msg=h)
+
+
+def test_sameconv_1x1_s2d_per_phase_matmul(key):
+    """1x1 convs must take the per-phase matmul path (block-diagonal over
+    phases — embedding one as a dense 3x3 kernel inflates FLOPs 36x) and
+    still equal the plain conv exactly."""
+    x = jax.random.normal(key, (2, 8, 12, 5), jnp.float32)
+    m = SameConv(features=7, kernel=(1, 1))
+    v = m.init({"params": key}, x)
+    ref = m.apply(v, x)
+    got = depth_to_space(m.apply(v, space_to_depth(x), s2d=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
