@@ -59,6 +59,9 @@ def main():
     cfg.run.eval_every = epochs  # single final eval
     cfg.run.save_path = os.path.join(tmp, "results")
     cfg.optim.learning_rate = 5e-3  # overfit fast on 8 images
+    # OVERFIT_BF16=1: the -f16 mixed-precision policy (fp32 master params,
+    # bf16 compute) — convergence-quality probe vs the fp32 default
+    cfg.parallel.bf16 = os.environ.get("OVERFIT_BF16", "0") == "1"
 
     session = Session(cfg)
     history = session.fit(log=lambda *a, **k: None)
