@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -24,6 +25,18 @@ def _lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
     jaccard = 1.0 - intersection / union
     if p > 1:
         jaccard = jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+    return jaccard
+
+
+def _lovasz_grad_batched(gt_sorted: jnp.ndarray) -> jnp.ndarray:
+    """_lovasz_grad over a batch of sorted vectors: (C, N) -> (C, N)."""
+    gts = jnp.sum(gt_sorted, axis=1, keepdims=True)
+    intersection = gts - jnp.cumsum(gt_sorted, axis=1)
+    union = gts + jnp.cumsum(1.0 - gt_sorted, axis=1)
+    jaccard = 1.0 - intersection / union
+    if gt_sorted.shape[1] > 1:
+        jaccard = jnp.concatenate(
+            [jaccard[:, :1], jaccard[:, 1:] - jaccard[:, :-1]], axis=1)
     return jaccard
 
 
@@ -44,23 +57,23 @@ def lovasz_softmax(
         valid = jnp.ones_like(l, dtype=bool)
     validf = valid.astype(p.dtype)
 
-    losses = []
-    present = []
-    for cls in range(c):
-        fg = ((l == cls) & valid).astype(p.dtype)
-        errors = jnp.abs(fg - p[:, cls]) * validf  # ignored pixels -> 0
-        # descending sort; ties between zero-error valid and ignored pixels
-        # are harmless because their dot-product contribution is zero.
-        order = jnp.argsort(-errors)
-        errors_sorted = errors[order]
-        fg_sorted = fg[order]
-        grad = _lovasz_grad(fg_sorted)
-        losses.append(jnp.dot(errors_sorted, grad))
-        present.append(jnp.sum(fg) > 0)
+    # ONE batched stable key-value sort over all classes: fg rides along as
+    # a sort operand, so no argsort + two 1M-pixel gathers per class (those
+    # gathers dominated the training-step profile, BENCH_NOTES round 2).
+    # Identical ordering to the previous per-class stable argsort.
+    cls_ids = jnp.arange(c)
+    fg_all = ((l[None, :] == cls_ids[:, None])
+              & valid[None, :]).astype(p.dtype)          # (C, N)
+    errors_all = jnp.abs(fg_all - p.T) * validf[None, :]
+    # descending sort; ties between zero-error valid and ignored pixels
+    # are harmless because their dot-product contribution is zero.
+    neg_sorted, fg_sorted = jax.lax.sort(
+        (-errors_all, fg_all), dimension=1, is_stable=True, num_keys=1)
+    grad = _lovasz_grad_batched(fg_sorted)
+    losses = jnp.sum(-neg_sorted * grad, axis=1)
 
-    losses = jnp.stack(losses)
     if classes == "present":
-        pres = jnp.stack(present).astype(losses.dtype)
+        pres = (jnp.sum(fg_all, axis=1) > 0).astype(losses.dtype)
         return jnp.sum(losses * pres) / jnp.maximum(jnp.sum(pres), 1.0)
     return jnp.mean(losses)
 
@@ -78,8 +91,8 @@ def lovasz_hinge(
     validf = valid.astype(lg.dtype)
     signs = 2.0 * lb.astype(lg.dtype) - 1.0
     errors = (1.0 - lg * signs) * validf
-    order = jnp.argsort(-errors)
-    errors_sorted = errors[order]
-    gt_sorted = (lb.astype(lg.dtype) * validf)[order]
+    gt = lb.astype(lg.dtype) * validf
+    neg_sorted, gt_sorted = jax.lax.sort(
+        (-errors, gt), dimension=0, is_stable=True, num_keys=1)
     grad = _lovasz_grad(gt_sorted)
-    return jnp.dot(jnp.maximum(errors_sorted, 0.0), grad)
+    return jnp.dot(jnp.maximum(-neg_sorted, 0.0), grad)

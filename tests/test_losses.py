@@ -375,3 +375,25 @@ def test_ohem_min_kept_parity(rng):
         )
     )
     assert abs(got - ref) < 1e-4
+
+
+def test_kth_smallest_radix_select_matches_sort():
+    """kth_smallest must return exactly jnp.sort(x)[k-1] — incl. negatives,
+    zeros, inf padding and duplicate values (the OHEM min_kept path)."""
+    import jax.numpy as jnp
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.losses.ohem import (
+        kth_smallest,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(10_000).astype(np.float32)
+    x[:100] = np.inf
+    x[100:200] = 0.0
+    x[200:300] = -0.0
+    x[300:400] = x[400:500]  # duplicates
+    xs = np.sort(x)
+    xj = jnp.asarray(x)
+    for k in (1, 2, 99, 100, 150, 5000, 9999, 10_000):
+        got = float(kth_smallest(xj, k))
+        want = float(xs[k - 1])
+        assert got == want or (np.isinf(got) and np.isinf(want)), (k, got, want)
