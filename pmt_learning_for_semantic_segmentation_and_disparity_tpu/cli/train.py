@@ -44,10 +44,11 @@ def main(argv=None):
             cfg.data, cfg.model.output_activation, cfg.model.max_disp, norm,
             train=False,
         )
-        # batch must shard over the mesh: round the requested batch up to a
-        # device multiple and mask the padded rows (Session.evaluate drops
-        # them, so metrics equal a batch-1 single-device eval — the
-        # reference's test_model runs batch 1, torch_implementation.py:450)
+        # batch must shard over the mesh: round the requested batch down to
+        # a device multiple (floor n_dev); tail batches are padded and the
+        # padded rows masked (Session.evaluate drops them, so metrics equal
+        # a batch-1 single-device eval — the reference's test_model runs
+        # batch 1, torch_implementation.py:450)
         n_dev = (session.mesh.shape[DATA_AXIS]
                  if session.mesh is not None else 1)
         eval_batch = max(n_dev, (min(cfg.run.batch, max(1, len(testset)))

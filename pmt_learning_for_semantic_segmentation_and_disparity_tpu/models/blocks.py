@@ -289,7 +289,6 @@ class ConvOut(nn.Module):
 
     features: int
     kernel: int = 3
-    he_init: bool = False
     dtype: Dtype = None
 
     @nn.compact
@@ -298,8 +297,7 @@ class ConvOut(nn.Module):
             self.features,
             (self.kernel, self.kernel),
             use_bias=False,
-            kernel_init=he_fan_out if self.he_init
-            else nn.initializers.lecun_normal(),
+            kernel_init=nn.initializers.lecun_normal(),
             dtype=self.dtype,
             name="conv",
         )(x, s2d=s2d)

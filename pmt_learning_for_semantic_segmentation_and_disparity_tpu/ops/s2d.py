@@ -127,11 +127,3 @@ def to_s2d_nearest(x: jnp.ndarray, target_hw: Tuple[int, int]) -> jnp.ndarray:
 def tile_channel_param(p: jnp.ndarray) -> jnp.ndarray:
     """Per-channel vector (C,) -> its s2d equivalent (4C,), phase-major."""
     return jnp.tile(p, (PHASES,))
-
-
-def phase_reduce_mean(x: jnp.ndarray) -> jnp.ndarray:
-    """Mean over the 4 phase groups of a (4C,) vector -> (C,). Each phase
-    covers the same number of pixels, so this equals the full-res spatial
-    mean used by BatchNorm."""
-    c = x.shape[0] // PHASES
-    return x.reshape(PHASES, c).mean(axis=0)
