@@ -37,7 +37,7 @@ def main(argv=None):
 
         from ..data.datasets import build_datasets, normalization_for
         from ..data.pipeline import DataLoader
-        from ..parallel import DATA_AXIS
+        from ..parallel import mesh_size
 
         norm = normalization_for(cfg.model.backbone, cfg.model.net)
         _, testset = build_datasets(
@@ -49,7 +49,7 @@ def main(argv=None):
         # padded rows masked (Session.evaluate drops them, so metrics equal
         # a batch-1 single-device eval — the reference's test_model runs
         # batch 1, torch_implementation.py:450)
-        n_dev = (session.mesh.shape[DATA_AXIS]
+        n_dev = (mesh_size(session.mesh)
                  if session.mesh is not None else 1)
         eval_batch = max(n_dev, (min(cfg.run.batch, max(1, len(testset)))
                                  // n_dev) * n_dev)

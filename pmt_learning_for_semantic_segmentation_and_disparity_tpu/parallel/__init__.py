@@ -1,6 +1,8 @@
 from .mesh import (  # noqa: F401
     DATA_AXIS,
+    REPLICA_AXIS,
     make_mesh,
+    mesh_size,
     batch_sharding,
     replicated,
     shard_batch,

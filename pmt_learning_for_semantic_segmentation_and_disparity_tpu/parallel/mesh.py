@@ -15,6 +15,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+REPLICA_AXIS = "replica"
 
 
 def setup_distributed(
@@ -54,16 +55,38 @@ def make_mesh(
     n_devices: Optional[int] = None,
     axes: Sequence[str] = (DATA_AXIS,),
     devices: Optional[Sequence[jax.Device]] = None,
+    mesh_shape: Optional[Sequence[int]] = None,
 ) -> Mesh:
-    """Build a 1-D (or trivially reshaped N-D) mesh over visible devices.
+    """Build a 1-D (or hierarchical multi-slice) mesh over visible devices.
 
     The reference is data-parallel only (SURVEY.md §2.5); the mesh therefore
-    defaults to a single ``data`` axis. Extra axes (e.g. a ``space`` axis for
-    spatially-sharded high-res eval) fold in with size 1 unless reshaped by
-    the caller.
+    defaults to a single ``data`` axis. ``mesh_shape=(n_slices,
+    devs_per_slice)`` builds a hierarchical ('replica', 'data') mesh for
+    multi-slice pods: the inner ``data`` axis maps to ICI-connected devices
+    within a slice, the outer ``replica`` axis to the DCN links between
+    slices. On real multi-slice hardware the device grid is arranged by
+    ``slice_index`` so each ``data`` row stays intra-slice; on emulated
+    meshes it is a plain row-major reshape.
     """
     if devices is None:
         devices = jax.devices()
+    if mesh_shape is not None and len(mesh_shape) == 2:
+        n_rep, n_data = mesh_shape
+        need = n_rep * n_data
+        devices = list(devices)
+        if len(devices) < need:
+            raise ValueError(
+                f"mesh_shape {tuple(mesh_shape)} needs {need} devices, "
+                f"have {len(devices)}")
+        # group by slice when the platform exposes slice_index (multi-slice
+        # TPU); emulated CPU devices all report the same slice.
+        devices = sorted(
+            devices[:need] if len({getattr(d, "slice_index", 0)
+                                   for d in devices}) <= 1 else devices,
+            key=lambda d: (getattr(d, "slice_index", 0), d.id),
+        )[:need]
+        dev = np.asarray(devices).reshape(n_rep, n_data)
+        return Mesh(dev, axis_names=(REPLICA_AXIS, DATA_AXIS))
     if n_devices is not None:
         devices = devices[:n_devices]
     dev = np.asarray(devices)
@@ -72,8 +95,9 @@ def make_mesh(
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis; replicate the rest."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard the leading (batch) dim over every mesh axis (replica-major on
+    hierarchical meshes); replicate the rest."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -91,8 +115,16 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def mesh_size(mesh: Mesh) -> int:
+    """Total data-parallel width (product of all mesh axes)."""
+    n = 1
+    for v in mesh.shape.values():
+        n *= v
+    return n
+
+
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:
-    n = mesh.shape[DATA_AXIS]
+    n = mesh_size(mesh)
     if global_batch % n != 0:
         raise ValueError(
             f"global batch {global_batch} not divisible by data-parallel size {n}"
