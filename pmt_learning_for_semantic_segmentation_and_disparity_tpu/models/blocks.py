@@ -185,7 +185,7 @@ class ConvBN(nn.Module):
             k,
             stride=self.stride,
             dilation=self.dilation,
-            use_bias=not self.batchnorm,
+            use_bias=False,  # conv2dSame/ConvTranspose2dSame default bias=False (torch_model.py:243,291)
             padding=self.padding,
             kernel_init=he_fan_out,
             dtype=self.dtype,
@@ -237,7 +237,7 @@ class DeconvBN(nn.Module):
             x = SameConv(
                 self.features,
                 k,
-                use_bias=not self.batchnorm,
+                use_bias=False,  # conv2dSame/ConvTranspose2dSame default bias=False (torch_model.py:243,291)
                 kernel_init=he_fan_out,
                 dtype=self.dtype,
                 name="deconv",
@@ -251,7 +251,7 @@ class DeconvBN(nn.Module):
                 k,
                 strides=(self.stride, self.stride),
                 padding="SAME",
-                use_bias=not self.batchnorm,
+                use_bias=False,  # conv2dSame/ConvTranspose2dSame default bias=False (torch_model.py:243,291)
                 kernel_init=he_fan_out,
                 dtype=self.dtype,
                 name="deconv",

@@ -99,8 +99,10 @@ class PSMFeature(nn.Module):
         raw = x
         for i in range(3):
             x = _BasicBlock(128, 1, 1, i == 0, ax, name=f"l3_{i}")(x, train)
+        # layer4: inplanes == planes and stride 1, so _make_layer creates NO
+        # downsample (submodule.py:105-108) — unlike layer3
         for i in range(3):
-            x = _BasicBlock(128, 1, 2, i == 0, ax, name=f"l4_{i}")(x, train)
+            x = _BasicBlock(128, 1, 2, False, ax, name=f"l4_{i}")(x, train)
         skip = x
 
         h, w = skip.shape[1], skip.shape[2]
@@ -138,13 +140,19 @@ class _ConvBN3d(nn.Module):
 
 
 class _Deconv3dBN(nn.Module):
+    """ConvTranspose3d(k3, s2, pad 1, output_padding 1) + BN. The explicit
+    (1, 2) padding (not 'SAME') reproduces torch's output arithmetic exactly
+    (verified to 1e-15 in fp64); the kernel imports with flipped spatial dims
+    (utils/torch_import_families.py)."""
+
     features: int
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train=False):
         x = nn.ConvTranspose(
-            self.features, (3, 3, 3), strides=(2, 2, 2), padding="SAME",
+            self.features, (3, 3, 3), strides=(2, 2, 2),
+            padding=((1, 2), (1, 2), (1, 2)),
             use_bias=False, kernel_init=he_fan_out, name="deconv",
         )(x)
         return _bn(self, train, self.axis_name, "bn")(x)

@@ -131,14 +131,16 @@ class PiramidNet2Warp(nn.Module):
             + [branch(out1, POOL_VALS[k + 1], f"branch1_{k}") for k in range(4)],
             axis=-1,
         )
-        b2 = jnp.concatenate(
-            [out2]
-            + [branch(out2, POOL_VALS[k + 2], f"branch2_{k}") for k in range(3)],
-            axis=-1,
-        )
-        b3 = jnp.concatenate(
-            [out3]
-            + [branch(out3, POOL_VALS[k + 3], f"branch3_{k}") for k in range(2)],
-            axis=-1,
-        )
+        b2_maps = [branch(out2, POOL_VALS[k + 2], f"branch2_{k}")
+                   for k in range(3)]
+        b2 = jnp.concatenate([out2] + b2_maps, axis=-1)
+        # Reference quirk (dsnet_t2_warp.py:476-477): the b3 concat's second
+        # slot interpolates **b2_1** (branch2_1's already-resized map), NOT
+        # branch3_1's output — branch3_1 is computed and discarded. We call
+        # branch3_1 so its params/stats exist (matching the torch state
+        # dict), discard the result, and resize b2_1 like the reference.
+        b3_0 = branch(out3, POOL_VALS[3], "branch3_0")
+        _ = branch(out3, POOL_VALS[4], "branch3_1")
+        b3_1 = resize_bilinear(b2_maps[1], (out3.shape[1], out3.shape[2]))
+        b3 = jnp.concatenate([out3, b3_0, b3_1], axis=-1)
         return out0, out1, out2, out3, out4, b0, b1, b2, b3

@@ -26,14 +26,15 @@ def apply_disparity(images: jnp.ndarray, x_offset: jnp.ndarray) -> jnp.ndarray:
     x_base = jnp.arange(w, dtype=jnp.float32)[None, None, :]
     xs = jnp.clip(x_base + x_offset.astype(jnp.float32), 0.0, w - 1.0)
     x0 = jnp.floor(xs)
-    # Weights are computed BEFORE clamping the upper index, so an exactly
-    # integer coordinate always gets weight 1 on its pixel. (The reference
-    # clamps x1 first, which zeroes the W-1 column when xs lands exactly on
-    # it — torch_dsnet.py:49-81; we deliberately fix that edge case.)
-    w_r = (xs - x0)[..., None]
-    w_l = 1.0 - w_r
     i0 = x0.astype(jnp.int32)[..., None]  # (B,H,W,1)
     i1 = jnp.minimum(i0 + 1, w - 1)
+    # The reference clamps x1 BEFORE computing weight_l = x1 - x
+    # (torch_dsnet.py:52-81), so every coordinate clamped to the right edge
+    # (xs == W-1, incl. all out-of-range offsets) gets weight_l = weight_r
+    # = 0 and samples to ZERO. Occlusion-masking by construction — keep the
+    # exact semantics for checkpoint/eval parity.
+    w_l = (i1[..., 0].astype(jnp.float32) - xs)[..., None]
+    w_r = (xs - x0)[..., None]
     pix_l = jnp.take_along_axis(images, jnp.broadcast_to(i0, (b, h, w, c)), axis=2)
     pix_r = jnp.take_along_axis(images, jnp.broadcast_to(i1, (b, h, w, c)), axis=2)
     out = w_l * pix_l + w_r * pix_r

@@ -19,7 +19,7 @@ from ..data.datasets import build_datasets, normalization_for
 from ..data.pipeline import DataLoader, prefetch_to_mesh
 from ..metrics.segmetrics import mean_iou, pixel_accuracy
 from ..models import get_network
-from ..parallel.mesh import DATA_AXIS, make_mesh, replicate
+from ..parallel.mesh import DATA_AXIS, make_mesh, mesh_size, replicate
 from .checkpoint import CheckpointManager
 from .optim import build_optimizer
 from .state import TrainState
@@ -35,6 +35,14 @@ def _import_torch_checkpoint(cfg: PMTConfig, path: str):
         load_torch_state_dict,
     )
 
+    from ..utils.torch_import_families import (
+        import_ext_small,
+        import_minidsnet_divide,
+        import_psmnet,
+        import_sppnet_mono,
+        import_sppnet_stereo,
+    )
+
     sd = load_torch_state_dict(path)
     sd = {k[len("module."):] if k.startswith("module.") else k: v
           for k, v in sd.items()}
@@ -47,10 +55,25 @@ def _import_torch_checkpoint(cfg: PMTConfig, path: str):
         )
     elif net == "sdnetv2":
         params, stats = import_dsnetv2(sd, labels=cfg.data.n_labels)
+    elif net == "deeplab":
+        params, stats = import_sppnet_mono(sd)
+    elif net == "deeplab_mod":
+        params, stats = import_sppnet_stereo(sd)
+    elif net == "pspnet":
+        params, stats = import_psmnet(sd)
+    elif net in ("sdnet_mini_ext_small", "sdnet_mini_ext_small_edge",
+                 "sdnet_mini_ext_small_edgev2"):
+        variant = {"sdnet_mini_ext_small": "v0",
+                   "sdnet_mini_ext_small_edge": "edge",
+                   "sdnet_mini_ext_small_edgev2": "v2"}[net]
+        params, stats = import_ext_small(sd, variant=variant)
+    elif net == "dsnet_warp":
+        params, stats = import_minidsnet_divide(sd)
     else:
         raise NotImplementedError(
             f"torch-checkpoint import not wired for -net {net} "
-            "(available: sdnet_mini_ext, sdnetv2)")
+            "(available: sdnet_mini_ext, sdnetv2, deeplab, deeplab_mod, "
+            "pspnet, the ext_small family, dsnet_warp)")
     import jax.numpy as jnp
 
     as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
@@ -99,23 +122,39 @@ class Session:
             left, left, train=False, **kwargs,
         )
         if cfg.model.pretrained_path:
-            # pretrained densenet121 backbone import (the reference's
-            # torch-hub pretrained=True default, models/densenet.py:248-258)
+            # pretrained backbone import — the reference's torch-hub
+            # pretrained=True default (models/densenet.py:248-258,
+            # models_deeplab/xception.py load_url, models/mobilenetv3.py:
+            # 219-230) with a local checkpoint instead of a download
             from ..utils.torch_import import (
                 apply_backbone_params,
                 import_densenet121,
                 load_torch_state_dict,
                 ref_densenet_to_torchvision_keys,
             )
+            from ..utils.torch_import_families import (
+                import_mobilenetv3_backbone,
+                import_xception65_backbone,
+            )
 
-            if cfg.model.backbone != "densenet":
-                raise NotImplementedError(
-                    "-pretrained_path import is wired for densenet121")
             sd = load_torch_state_dict(cfg.model.pretrained_path)
-            if "features.conv0.weight" not in sd:
-                sd = ref_densenet_to_torchvision_keys(sd)
-            bp, bs = import_densenet121(sd)
-            variables = apply_backbone_params(dict(variables), bp, bs)
+            if cfg.model.net in ("deeplab", "deeplab_mod"):
+                # xception65 encoder lives at params["encoder"]
+                bp, bs = import_xception65_backbone(sd)
+                variables = apply_backbone_params(
+                    dict(variables), bp, bs, path=("encoder",))
+            elif cfg.model.backbone == "mobilenet":
+                bp, bs = import_mobilenetv3_backbone(sd)
+                variables = apply_backbone_params(dict(variables), bp, bs)
+            elif cfg.model.backbone == "densenet":
+                if "features.conv0.weight" not in sd:
+                    sd = ref_densenet_to_torchvision_keys(sd)
+                bp, bs = import_densenet121(sd)
+                variables = apply_backbone_params(dict(variables), bp, bs)
+            else:
+                raise NotImplementedError(
+                    "-pretrained_path import is wired for densenet121, "
+                    "mobilenetv3-large and xception65 (deeplab nets)")
         self.tx = build_optimizer(
             cfg.optim, cfg.model.net, len(cfg.loss.losses), steps_per_epoch
         )
@@ -192,7 +231,9 @@ class Session:
             # eval step (test_model runs batch=1).
             m = {k: np.asarray(v) for k, v in m.items()}
             n_rows = next(iter(m.values())).shape[0]
-            valid = extras.get("valid") or n_rows
+            valid = extras.get("valid")
+            if valid is None:  # explicit: valid=0 must NOT fall back
+                valid = n_rows
             for r in range(min(valid, n_rows)):
                 row = acc.update({k: v[r] for k, v in m.items()})
                 if show_per_step:
@@ -240,7 +281,7 @@ class Session:
             num_workers=cfg.data.num_workers, seed=cfg.run.seed,
             process_index=pi, process_count=pc,
         )
-        n_dev = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+        n_dev = mesh_size(self.mesh) if self.mesh is not None else 1
         if cfg.run.batch % n_dev:
             raise ValueError(
                 f"-b {cfg.run.batch} must be divisible by the mesh's "

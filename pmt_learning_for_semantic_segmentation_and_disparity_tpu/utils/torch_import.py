@@ -181,12 +181,10 @@ def _cdu(sd, prefix, last=True):
 
 def _conv_plain(sd, prefix, features):
     """conv2dSame (bias=False default, torch_model.py:236-283) inside a
-    Sequential -> our ConvBN(batchnorm=False) which carries a (zero) bias."""
+    Sequential -> our bias-free ConvBN(batchnorm=False)."""
+    del features  # kept for call-site readability
     w = conv_kernel(_get(sd, f"{prefix}.0.c2d.weight"))
-    bias_key = f"{prefix}.0.c2d.bias"
-    b = (_get(sd, bias_key) if bias_key in sd
-         else np.zeros((features,), np.float32))
-    return {"conv": {"kernel": w, "bias": b}}
+    return {"conv": {"kernel": w}}
 
 
 def _deconv_out(sd, prefix):
@@ -244,11 +242,63 @@ def import_piramidnet2(state_dict, prefix="resnet_features",
     return params, stats
 
 
+def conv1d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch Conv1d (O,I,k) -> flax (k,I,O)."""
+    return np.transpose(w, (2, 1, 0))
+
+
+def import_aspp_dsnet(sd, prefix="aspp"):
+    """dsnet-flavor ASPP (models/aspp.py:34-112) -> models.aspp.ASPP."""
+    p, s = {}, {}
+    for i in (1, 2, 3, 4):
+        p[f"aspp{i}_conv"] = {"kernel": conv_kernel(
+            _get(sd, f"{prefix}.aspp{i}.atrous_conv.weight"))}
+        bp, bs = bn_entries(sd, f"{prefix}.aspp{i}.bn")
+        p[f"aspp{i}_bn"], s[f"aspp{i}_bn"] = bp, bs
+    p["gp_conv"] = {"kernel": conv_kernel(
+        _get(sd, f"{prefix}.global_avg_pool.1.weight"))}
+    bp, bs = bn_entries(sd, f"{prefix}.global_avg_pool.2")
+    p["gp_bn"], s["gp_bn"] = bp, bs
+    p["proj_conv"] = {"kernel": conv_kernel(_get(sd, f"{prefix}.conv1.weight"))}
+    bp, bs = bn_entries(sd, f"{prefix}.bn1")
+    p["proj_bn"], s["proj_bn"] = bp, bs
+    return p, s
+
+
+def import_hanet_conv(sd, prefix="hanet_last", layer=3):
+    """HANet_Conv (models_hanet/HANet.py:9-128, is_encoding=1 sinusoid
+    default — the learned PosEmbedding1D variant carries its own embedding
+    and is imported separately when present) -> models.hanet.HANetConv."""
+    p, s = {}, {}
+    p["att1_conv"] = {"kernel": conv1d_kernel(
+        _get(sd, f"{prefix}.attention_first.0.weight"))}
+    bp, bs = bn_entries(sd, f"{prefix}.attention_first.1")
+    p["att1_bn"], s["att1_bn"] = bp, bs
+    p["att2_conv"] = {
+        "kernel": conv1d_kernel(_get(sd, f"{prefix}.attention_second.0.weight")),
+        "bias": _get(sd, f"{prefix}.attention_second.0.bias"),
+    }
+    if layer == 3:
+        bp, bs = bn_entries(sd, f"{prefix}.attention_second.1")
+        p["att2_bn"], s["att2_bn"] = bp, bs
+        p["att3_conv"] = {
+            "kernel": conv1d_kernel(
+                _get(sd, f"{prefix}.attention_third.0.weight")),
+            "bias": _get(sd, f"{prefix}.attention_third.0.bias"),
+        }
+    emb_key = f"{prefix}.pos_emb1d_2nd.pos_embedding.weight"
+    if emb_key in sd:  # PosEmbedding1D (is_encoding=0, PosEmbedding.py:88+)
+        p["pos_emb1d_2nd"] = {"embedding": _get(sd, emb_key)}
+    return p, s
+
+
 def import_minidsnet_ext(state_dict, labels=2, use_att=True,
-                         conv_deconv_out=0, ablation=()):
-    """Convert a torch minidsnetExt state dict (densenet backbone, aspp 0 —
-    the flagship train-script config, scripts/trainTorchImpl.sh:30-44) into
-    MiniDSNetExt {params, batch_stats} trees.
+                         conv_deconv_out=0, ablation=(), aspp_mod=0,
+                         hanet=False):
+    """Convert a torch minidsnetExt state dict (densenet backbone; aspp
+    modes 0/1/2 via ``aspp_mod``; optional HANet head via ``hanet`` —
+    flagship train-script config is aspp 0, scripts/trainTorchImpl.sh:30-44)
+    into MiniDSNetExt {params, batch_stats} trees.
 
     The four independent 3->1 image convs conv2d_ba{0..3} merge into our
     single 3->4 ConvBN; channel order follows the reference's forward
@@ -303,6 +353,10 @@ def import_minidsnet_ext(state_dict, labels=2, use_att=True,
         params["cdu8"], stats["cdu8"] = _cdu(sd, "Conv2DownUp8")
     params["cdu10"], stats["cdu10"] = _cdu(sd, "Conv2DownUp10")
     params["conv1d_5"] = _conv_plain(sd, "conv1d_5", 32)
+    if aspp_mod in (1, 2):
+        params["aspp"], stats["aspp"] = import_aspp_dsnet(sd)
+    if hanet:
+        params["hanet_last"], stats["hanet_last"] = import_hanet_conv(sd)
     if conv_deconv_out:
         params["cdu11"], stats["cdu11"] = _cdu(sd, "Conv2DownUp11.0",
                                                last=False)

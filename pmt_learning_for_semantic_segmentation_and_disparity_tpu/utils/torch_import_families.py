@@ -1,0 +1,455 @@
+"""Per-family torch -> flax weight transport (VERDICT round-2 #1).
+
+Importers for the model families beyond the flagship: the DeepLabV3+
+pair (models_deeplab/net.py:82-135, models_deeplab_mod/net.py:82-169),
+PSMNet (models_psmnet/stackhourglass.py), the ext_small RCU family
+(models/dsnet_t2_ext_small.py) and the warp family
+(models/dsnet_t2_warp.py:577-703). Each converts a torch state dict
+(random-init or trained) into {params, batch_stats} trees structurally
+identical to a fresh flax init of our corresponding model, proving the
+wiring at activation level via tests/test_parity_families.py.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+from .torch_import import (
+    _cdu,
+    _conv_plain,
+    _convbn,
+    _deconv_out,
+    _deconvbn,
+    bn_entries,
+    conv_kernel,
+    deconv_as_conv_kernel,
+    depthwise_kernel,
+    import_piramidnet2,
+)
+
+Tree = Dict[str, Any]
+
+
+def _get(sd: Mapping[str, np.ndarray], key: str) -> np.ndarray:
+    return np.asarray(sd[key])
+
+
+# ---------------------------------------------------------------------------
+# DeepLabV3+ family (models_deeplab / models_deeplab_mod)
+# ---------------------------------------------------------------------------
+
+def _separable(sd, prefix) -> Tuple[Tree, Tree]:
+    """SeparableConv2d (models_deeplab/common.py:25-52) -> SeparableConv."""
+    p: Tree = {
+        "depthwise": {"kernel": depthwise_kernel(
+            _get(sd, f"{prefix}.block.depthwise.weight"))},
+        "pointwise": {"kernel": conv_kernel(
+            _get(sd, f"{prefix}.block.pointwise.weight"))},
+    }
+    s: Tree = {}
+    for name in ("bn_depth", "bn_point"):
+        bp, bs = bn_entries(sd, f"{prefix}.block.{name}")
+        p[name], s[name] = bp, bs
+    return p, s
+
+
+def _plain_bn(sd, prefix) -> Tuple[Tree, Tree]:
+    return bn_entries(sd, prefix)
+
+
+def _conv_nobias(sd, key) -> Tree:
+    return {"kernel": conv_kernel(_get(sd, key))}
+
+
+def _conv_bias(sd, prefix) -> Tree:
+    return {"kernel": conv_kernel(_get(sd, f"{prefix}.weight")),
+            "bias": _get(sd, f"{prefix}.bias")}
+
+
+def import_xception65(sd, prefix="encoder") -> Tuple[Tree, Tree]:
+    """Xception65 (models_deeplab/xception.py:49-135; the _mod variant has
+    identical parameters — the block8/14 taps are forward-only)."""
+    p: Tree = {}
+    s: Tree = {}
+    p["conv1"] = _conv_nobias(sd, f"{prefix}.conv1.weight")
+    p["bn1"], s["bn1"] = _plain_bn(sd, f"{prefix}.bn1")
+    p["conv2"] = _conv_nobias(sd, f"{prefix}.conv2.weight")
+    p["bn2"], s["bn2"] = _plain_bn(sd, f"{prefix}.bn2")
+    for i in range(1, 22):
+        bp: Tree = {}
+        bs: Tree = {}
+        for k in (1, 2, 3):
+            sp, ss = _separable(sd, f"{prefix}.block{i}.sep_conv{k}")
+            bp[f"sep{k}"], bs[f"sep{k}"] = sp, ss
+        if f"{prefix}.block{i}.conv.weight" in sd:  # skip='conv' blocks
+            bp["skip_conv"] = _conv_nobias(sd, f"{prefix}.block{i}.conv.weight")
+            bp["skip_bn"], bs["skip_bn"] = _plain_bn(sd, f"{prefix}.block{i}.bn")
+        p[f"block{i}"], s[f"block{i}"] = bp, bs
+    return p, s
+
+
+def import_aspp_deeplab(sd, prefix="spp") -> Tuple[Tree, Tree]:
+    """ASPP (models_deeplab/spp.py:34-77) -> ASPPDeeplab."""
+    p: Tree = {}
+    s: Tree = {}
+    p["gap_conv"] = _conv_nobias(sd, f"{prefix}.image_pooling.conv.weight")
+    p["gap_bn"], s["gap_bn"] = _plain_bn(sd, f"{prefix}.image_pooling.bn")
+    p["aspp0_conv"] = _conv_nobias(sd, f"{prefix}.aspp0.conv.weight")
+    p["aspp0_bn"], s["aspp0_bn"] = _plain_bn(sd, f"{prefix}.aspp0.bn")
+    for i in (1, 2, 3):
+        sp, ss = _separable(sd, f"{prefix}.aspp{i}")
+        p[f"aspp{i}"], s[f"aspp{i}"] = sp, ss
+    p["proj"] = _conv_nobias(sd, f"{prefix}.conv.weight")
+    p["proj_bn"], s["proj_bn"] = _plain_bn(sd, f"{prefix}.bn")
+    return p, s
+
+
+def import_spp_decoder(sd, prefix, concat_prev=False) -> Tuple[Tree, Tree]:
+    """SPPDecoder (models_deeplab_mod/spp.py:131-157 superset)."""
+    p: Tree = {}
+    s: Tree = {}
+    p["low_conv"] = _conv_nobias(sd, f"{prefix}.conv.weight")
+    p["low_bn"], s["low_bn"] = _plain_bn(sd, f"{prefix}.bn")
+    if concat_prev:
+        p["int_conv"] = _conv_nobias(sd, f"{prefix}.conv_int_feat.weight")
+    for k in ("sep1", "sep2"):
+        sp, ss = _separable(sd, f"{prefix}.{k}")
+        p[k], s[k] = sp, ss
+    return p, s
+
+
+def import_sppnet_mono(state_dict) -> Tuple[Tree, Tree]:
+    """SPPNet 'deeplab' (models_deeplab/net.py:82-135, xception65/aspp) ->
+    SPPNetMono {params, batch_stats}."""
+    sd = state_dict
+    p: Tree = {}
+    s: Tree = {}
+    p["encoder"], s["encoder"] = import_xception65(sd)
+    p["spp"], s["spp"] = import_aspp_deeplab(sd)
+    p["decoder"], s["decoder"] = import_spp_decoder(sd, "decoder")
+    p["logits"] = _conv_bias(sd, "logits")
+    return p, s
+
+
+def import_sppnet_stereo(state_dict) -> Tuple[Tree, Tree]:
+    """SPPNet 'deeplab_mod' (models_deeplab_mod/net.py:82-169) ->
+    SPPNetStereo: shared-weight stereo encoder, 1-D correlation on the
+    block-8 mid features, three chained SPPDecoders."""
+    sd = state_dict
+    p: Tree = {}
+    s: Tree = {}
+    p["encoder"], s["encoder"] = import_xception65(sd)
+    p["spp"], s["spp"] = import_aspp_deeplab(sd)
+    p["decoder"], s["decoder"] = import_spp_decoder(sd, "decoder")
+    p["decoder2"], s["decoder2"] = import_spp_decoder(
+        sd, "decoder2", concat_prev=True)
+    p["decoder3"], s["decoder3"] = import_spp_decoder(
+        sd, "decoder3", concat_prev=True)
+    p["conv2"] = _conv_nobias(sd, "conv2.weight")
+    p["conv3"] = _conv_nobias(sd, "conv3.weight")
+    p["corrConv"] = _conv_nobias(sd, "corrConv2d.0.weight")
+    p["logits"] = _conv_bias(sd, "logits")
+    p["logits_disp"] = _conv_bias(sd, "logits_disp")
+    p["logits_seg"] = _conv_bias(sd, "logits_seg")
+    return p, s
+
+
+def import_xception65_backbone(state_dict) -> Tuple[Tree, Tree]:
+    """Standalone pretrained Xception65 checkpoint (unprefixed keys, the
+    layout models_deeplab/xception.py's load_url delivers) -> our deeplab
+    encoder subtree. The reference defaults pretrained=True for the mono
+    deeplab net (models_deeplab/net.py:26); -pretrained_path is our
+    zero-egress equivalent."""
+    return import_xception65({f"encoder.{k}": v
+                              for k, v in state_dict.items()})
+
+
+def _dense_kernel(w: np.ndarray) -> np.ndarray:
+    """torch Linear (O,I) -> flax Dense (I,O)."""
+    return np.transpose(w, (1, 0))
+
+
+# (k, t, c, SE, HS, s) — models/mobilenetv3.py:201-218
+_MBV3_LARGE_CFG = [
+    (3, 1, 16, 0, 0, 1), (3, 4, 24, 0, 0, 2), (3, 3, 24, 0, 0, 1),
+    (5, 3, 40, 1, 0, 2), (5, 3, 40, 1, 0, 1), (5, 3, 40, 1, 0, 1),
+    (3, 6, 80, 0, 1, 2), (3, 2.5, 80, 0, 1, 1), (3, 2.3, 80, 0, 1, 1),
+    (3, 2.3, 80, 0, 1, 1), (3, 6, 112, 1, 1, 1), (3, 6, 112, 1, 1, 1),
+    (5, 6, 160, 1, 1, 2), (5, 6, 160, 1, 1, 1), (5, 6, 160, 1, 1, 1),
+]
+
+
+def _make_divisible(v, divisor=8):
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+def import_mobilenetv3_backbone(state_dict) -> Tuple[Tree, Tree]:
+    """MobileNetV3-Large checkpoint (cuevhv mobilenetv3.pytorch layout:
+    features.0 stem, features.1..15 InvertedResidual, models/
+    mobilenetv3.py:91-131) -> MobileNetV3LargeFeatures {params,
+    batch_stats}. The classifier tail (conv/avgpool/classifier.*) is
+    ignored — the backbone taps stop at block 15."""
+    sd = state_dict
+    p: Tree = {"stem": _conv_nobias_raw(sd, "features.0.0.weight")}
+    s: Tree = {}
+    p["stem_bn"], s["stem_bn"] = bn_entries(sd, "features.0.1")
+
+    def _se(prefix) -> Tree:
+        return {
+            "fc1": {"kernel": _dense_kernel(_get(sd, f"{prefix}.fc.0.weight")),
+                    "bias": _get(sd, f"{prefix}.fc.0.bias")},
+            "fc2": {"kernel": _dense_kernel(_get(sd, f"{prefix}.fc.2.weight")),
+                    "bias": _get(sd, f"{prefix}.fc.2.bias")},
+        }
+
+    inp = 16
+    for i, (k, t, c, se, hs, stride) in enumerate(_MBV3_LARGE_CFG):
+        del k, hs, stride
+        oup = _make_divisible(c * 1.0)
+        hidden = _make_divisible(inp * t)
+        pre = f"features.{i + 1}.conv"
+        bp: Tree = {}
+        bs: Tree = {}
+        if inp == hidden:
+            # dw-first layout: [0]dw [1]bn [2]act [3]SE [4]pw-lin [5]bn
+            bp["dw"] = {"kernel": depthwise_kernel(_get(sd, f"{pre}.0.weight"))}
+            bp["dw_bn"], bs["dw_bn"] = bn_entries(sd, f"{pre}.1")
+            if se:
+                bp["se"] = _se(f"{pre}.3")
+            bp["pw_lin"] = _conv_nobias_raw(sd, f"{pre}.4.weight")
+            bp["pw_lin_bn"], bs["pw_lin_bn"] = bn_entries(sd, f"{pre}.5")
+        else:
+            # [0]pw [1]bn [2]act [3]dw [4]bn [5]SE [6]act [7]pw-lin [8]bn
+            bp["pw"] = _conv_nobias_raw(sd, f"{pre}.0.weight")
+            bp["pw_bn"], bs["pw_bn"] = bn_entries(sd, f"{pre}.1")
+            bp["dw"] = {"kernel": depthwise_kernel(_get(sd, f"{pre}.3.weight"))}
+            bp["dw_bn"], bs["dw_bn"] = bn_entries(sd, f"{pre}.4")
+            if se:
+                bp["se"] = _se(f"{pre}.5")
+            bp["pw_lin"] = _conv_nobias_raw(sd, f"{pre}.7.weight")
+            bp["pw_lin_bn"], bs["pw_lin_bn"] = bn_entries(sd, f"{pre}.8")
+        p[f"block{i + 1}"], s[f"block{i + 1}"] = bp, bs
+        inp = oup
+    return p, s
+
+
+def _conv_nobias_raw(sd, key) -> Tree:
+    return {"kernel": conv_kernel(_get(sd, key))}
+
+
+# ---------------------------------------------------------------------------
+# PSMNet (models_psmnet/stackhourglass.py + submodule.py)
+# ---------------------------------------------------------------------------
+
+def conv3d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch Conv3d (O,I,kd,kh,kw) -> flax (kd,kh,kw,I,O)."""
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def deconv3d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose3d (I,O,kd,kh,kw) -> flax ConvTranspose
+    (kd,kh,kw,I,O) with flipped spatial dims (flax correlates)."""
+    return np.transpose(w[:, :, ::-1, ::-1, ::-1], (2, 3, 4, 0, 1))
+
+
+def _convbn2d_psm(sd, prefix) -> Tuple[Tree, Tree]:
+    """convbn (submodule.py:10-13): Sequential(Conv2d, BatchNorm2d)."""
+    p: Tree = {"conv": {"kernel": conv_kernel(_get(sd, f"{prefix}.0.weight"))}}
+    bp, bs = bn_entries(sd, f"{prefix}.1")
+    p["bn"] = bp
+    return p, {"bn": bs}
+
+
+def _convbn3d_psm(sd, prefix) -> Tuple[Tree, Tree]:
+    """convbn_3d (submodule.py:16-19)."""
+    p: Tree = {"conv": {"kernel": conv3d_kernel(_get(sd, f"{prefix}.0.weight"))}}
+    bp, bs = bn_entries(sd, f"{prefix}.1")
+    p["bn"] = bp
+    return p, {"bn": bs}
+
+
+def _deconvbn3d_psm(sd, prefix) -> Tuple[Tree, Tree]:
+    """Sequential(ConvTranspose3d, BatchNorm3d) (stackhourglass.py:25-29)."""
+    p: Tree = {"deconv": {"kernel": deconv3d_kernel(
+        _get(sd, f"{prefix}.0.weight"))}}
+    bp, bs = bn_entries(sd, f"{prefix}.1")
+    p["bn"] = bp
+    return p, {"bn": bs}
+
+
+def _psm_basic_block(sd, prefix, downsample: bool) -> Tuple[Tree, Tree]:
+    """BasicBlock (submodule.py:21-43): conv1 = Sequential(convbn, ReLU),
+    conv2 = convbn, optional downsample = Sequential(Conv2d, BN)."""
+    p: Tree = {}
+    s: Tree = {}
+    p["c1"], s["c1"] = _convbn2d_psm(sd, f"{prefix}.conv1.0")
+    p["c2"], s["c2"] = _convbn2d_psm(sd, f"{prefix}.conv2")
+    if downsample:
+        p["down"] = _conv_nobias(sd, f"{prefix}.downsample.0.weight")
+        p["down_bn"], s["down_bn"] = bn_entries(sd, f"{prefix}.downsample.1")
+    return p, s
+
+
+def _psm_hourglass(sd, prefix) -> Tuple[Tree, Tree]:
+    """hourglass (stackhourglass.py:10-50) -> Hourglass3D c1..c6."""
+    p: Tree = {}
+    s: Tree = {}
+    p["c1"], s["c1"] = _convbn3d_psm(sd, f"{prefix}.conv1.0")
+    p["c2"], s["c2"] = _convbn3d_psm(sd, f"{prefix}.conv2")
+    p["c3"], s["c3"] = _convbn3d_psm(sd, f"{prefix}.conv3.0")
+    p["c4"], s["c4"] = _convbn3d_psm(sd, f"{prefix}.conv4.0")
+    p["c5"], s["c5"] = _deconvbn3d_psm(sd, f"{prefix}.conv5")
+    p["c6"], s["c6"] = _deconvbn3d_psm(sd, f"{prefix}.conv6")
+    return p, s
+
+
+def import_psmnet(state_dict) -> Tuple[Tree, Tree]:
+    """PSMNet stacked hourglass (stackhourglass.py:53-160) -> our PSMNet
+    {params, batch_stats} trees (models/psmnet.py)."""
+    sd = state_dict
+    p: Tree = {}
+    s: Tree = {}
+
+    # feature_extraction (submodule.py:66-141)
+    fp: Tree = {}
+    fs: Tree = {}
+    for i, idx in enumerate((0, 2, 4)):
+        fp[f"first{i}"], fs[f"first{i}"] = _convbn2d_psm(
+            sd, f"feature_extraction.firstconv.{idx}")
+    layers = (("l1", "layer1", 3, False), ("l2", "layer2", 16, True),
+              ("l3", "layer3", 3, True), ("l4", "layer4", 3, False))
+    for ours, theirs, n, first_down in layers:
+        for i in range(n):
+            down = first_down and i == 0
+            fp[f"{ours}_{i}"], fs[f"{ours}_{i}"] = _psm_basic_block(
+                sd, f"feature_extraction.{theirs}.{i}", down)
+    for i in (1, 2, 3, 4):
+        fp[f"branch{i}"], fs[f"branch{i}"] = _convbn2d_psm(
+            sd, f"feature_extraction.branch{i}.1")
+    fp["last0"], fs["last0"] = _convbn2d_psm(
+        sd, "feature_extraction.lastconv.0")
+    fp["last1"] = _conv_nobias(sd, "feature_extraction.lastconv.2.weight")
+    p["feature"], s["feature"] = fp, fs
+
+    for ours, theirs in (("dres0a", "dres0.0"), ("dres0b", "dres0.2"),
+                         ("dres1a", "dres1.0"), ("dres1b", "dres1.2")):
+        p[ours], s[ours] = _convbn3d_psm(sd, theirs)
+    for ours, theirs in (("dres2", "dres2"), ("dres3", "dres3"),
+                         ("dres4", "dres4")):
+        p[ours], s[ours] = _psm_hourglass(sd, theirs)
+    for k in (1, 2, 3):
+        p[f"classif{k}a"], s[f"classif{k}a"] = _convbn3d_psm(
+            sd, f"classif{k}.0")
+        p[f"classif{k}b"] = {"kernel": conv3d_kernel(
+            _get(sd, f"classif{k}.2.weight"))}
+    return p, s
+
+
+# ---------------------------------------------------------------------------
+# ext_small family (models/dsnet_t2_ext_small.py)
+# ---------------------------------------------------------------------------
+
+def _rcu(sd, prefix, use_deconv=True) -> Tuple[Tree, Tree]:
+    """RCU (dsnet_t2_ext_small.py:43-64): c1, c2, then d3 (deconvbn) when
+    use_deconv else c3 (convbn) — the torch module constructs only one."""
+    p: Tree = {}
+    s: Tree = {}
+    for name in ("c1", "c2"):
+        cp, cs = _convbn(sd, f"{prefix}.{name}.0")
+        p[name], s[name] = cp, cs
+    if use_deconv:
+        cp, cs = _deconvbn(sd, f"{prefix}.d3.0")
+        p["d3"], s["d3"] = cp, cs
+    else:
+        cp, cs = _convbn(sd, f"{prefix}.c3.0")
+        p["c3"], s["c3"] = cp, cs
+    return p, s
+
+
+def import_ext_small(state_dict, variant="edge") -> Tuple[Tree, Tree]:
+    """Ext_small (:130-381) / Ext_smallv2 (:382-638) / Ext_smallv0
+    (:639-894), densenet backbone, aspp 0 -> ExtSmall {params,
+    batch_stats}. conv1d_3 is constructed but unused in every variant's
+    forward — skipped, like the flagship importer does."""
+    sd = state_dict
+    use_dc = variant != "edge"
+    p: Tree = {}
+    s: Tree = {}
+    p["features"], s["features"] = import_piramidnet2(sd)
+
+    if variant == "edge":
+        for i in (0, 1, 2):
+            cp, cs = _convbn(sd, f"conv2d_ba{i}.0")
+            p[f"conv2d_ba{i}"], s[f"conv2d_ba{i}"] = cp, cs
+
+    seg_p: Tree = {}
+    seg_s: Tree = {}
+    seg_p["conv1d_1"] = _conv_plain(sd, "segNet.conv1d_1", 64)
+    seg_p["cdu1"], seg_s["cdu1"] = _rcu(sd, "segNet.Conv2DownUp1", use_dc)
+    seg_p["conv1d_2"] = _conv_plain(sd, "segNet.conv1d_2", 32)
+    seg_p["cdu2"], seg_s["cdu2"] = _rcu(sd, "segNet.Conv2DownUp2.0", use_dc)
+    seg_p["out"] = {"kernel": conv_kernel(
+        _get(sd, "segNet.Conv2DownUp2.1.c2d.weight"))}
+    p["segNet"], s["segNet"] = seg_p, seg_s
+
+    p["corrConv2d"] = _conv_plain(sd, "corrConv2d", 128)
+    for ours, theirs in (("rcu3", "Conv2DownUp3"), ("rcu4", "Conv2DownUp4"),
+                         ("rcu5", "Conv2DownUp5"), ("rcu6", "Conv2DownUp6"),
+                         ("rcu7", "Conv2DownUp7"), ("rcu8", "Conv2DownUp8"),
+                         ("rcu9", "Conv2DownUp9"), ("rcu10", "Conv2DownUp10")):
+        p[ours], s[ours] = _rcu(sd, theirs, use_dc)
+    p["conv1d_2"] = _conv_plain(sd, "conv1d_2", 64)
+    p["dispoutConv"] = {"kernel": deconv_as_conv_kernel(
+        _get(sd, "dispoutConv.ct2d.weight"))}
+    p["conv1d_4"] = _conv_plain(sd, "conv1d_4", 128)
+    p["conv1d_at"] = _conv_plain(sd, "conv1d_at", 1)
+    p["conv1d_5"] = _conv_plain(sd, "conv1d_5", 32)
+    p["rcu11"], s["rcu11"] = _rcu(sd, "Conv2DownUp11.0", use_dc)
+    p["rcu11_out"] = {"kernel": conv_kernel(
+        _get(sd, "Conv2DownUp11.1.c2d.weight"))}
+    return p, s
+
+
+# ---------------------------------------------------------------------------
+# warp family (models/dsnet_t2_warp.py)
+# ---------------------------------------------------------------------------
+
+def import_minidsnet_divide(state_dict) -> Tuple[Tree, Tree]:
+    """minidsnetDivide 'dsnet_warp' (dsnet_t2_warp.py:577-703), densenet ->
+    MiniDSNetDivide {params, batch_stats}.
+
+    The warp-family piramidNet2 (:339-480) adds a 4th pyramid tap
+    (branch3_0/branch3_1). conv2d_ba0/2/3, conv1d_3 and segNetB2 are
+    constructed by the torch net but unused by forward (:637-703) — skipped,
+    like the flagship importer's conv1d_3."""
+    sd = state_dict
+    p: Tree = {}
+    s: Tree = {}
+    p["features"], s["features"] = import_piramidnet2(
+        sd, branches=((0, 5), (1, 4), (2, 3), (3, 2)))
+    cp, cs = _convbn(sd, "conv2d_ba1.0")
+    p["conv2d_ba1"], s["conv2d_ba1"] = cp, cs
+
+    seg_p: Tree = {}
+    seg_s: Tree = {}
+    seg_p["conv1d_1"] = _conv_plain(sd, "segNet.conv1d_1", 64)
+    seg_p["cdu1"], seg_s["cdu1"] = _cdu(sd, "segNet.Conv2DownUp1")
+    seg_p["conv1d_2"] = _conv_plain(sd, "segNet.conv1d_2", 32)
+    seg_p["cdu2"], seg_s["cdu2"] = _cdu(sd, "segNet.Conv2DownUp2.0",
+                                        last=False)
+    seg_p["out"] = _deconv_out(sd, "segNet.Conv2DownUp2.1")
+    p["segNet"], s["segNet"] = seg_p, seg_s
+
+    p["corrConv2d"] = _conv_plain(sd, "corrConv2d", 128)
+    p["cdu3"], s["cdu3"] = _cdu(sd, "Conv2DownUp3")
+    p["cdu4"], s["cdu4"] = _cdu(sd, "Conv2DownUp4")
+    p["conv1d_2"] = _conv_plain(sd, "conv1d_2", 64)
+    p["cdu5"], s["cdu5"] = _cdu(sd, "Conv2DownUp5", last=False)
+    p["dispoutConv"] = _deconv_out(sd, "dispoutConv")
+    p["cdu7"], s["cdu7"] = _cdu(sd, "Conv2DownUp7")
+    p["conv1d_at_d"] = _conv_plain(sd, "conv1d_at_d", 1)
+    return p, s

@@ -81,4 +81,14 @@ def load_reference_models():
 
     from models import dsnet_t2  # noqa: E402
 
+    # apply_disparity hardcodes tensor_type='torch.cuda.FloatTensor'
+    # (torch_dsnet.py:10) — retarget the default so the warp family runs
+    # on CPU; dsnet_t2_warp binds the same function object.
+    from models import torch_dsnet  # noqa: E402
+
+    torch_dsnet.apply_disparity.__defaults__ = tuple(
+        "torch.FloatTensor" if d == "torch.cuda.FloatTensor" else d
+        for d in torch_dsnet.apply_disparity.__defaults__
+    )
+
     return dsnet_t2

@@ -58,8 +58,10 @@ def test_ext_small_v0():
 def test_ext_small_edge():
     cfg = PMTConfig()
     cfg.model.net = "sdnet_mini_ext_small_edge"
-    out = _run(cfg, 64, 64, left_e=jnp.zeros((1, 64, 64, 1)))
-    assert out["edge"].shape == (1, 64, 64, 2)
+    # left_e = grad-mag of the RGB image keeps 3 channels; the edge head is
+    # built with labels=1 (segNet(..., 1, 1), dsnet_t2_ext_small.py:245)
+    out = _run(cfg, 64, 64, left_e=jnp.zeros((1, 64, 64, 3)))
+    assert out["edge"].shape == (1, 64, 64, 1)
     assert out["seg1"].shape == (1, 64, 64, 2)
 
 

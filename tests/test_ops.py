@@ -140,7 +140,11 @@ def test_correlation_matches_torch_sampler_semantics(rng):
 def test_apply_disparity_identity(rng):
     img = rng.standard_normal((1, 4, 8, 3), dtype=np.float32)
     out = np.asarray(ops.apply_disparity(jnp.asarray(img), jnp.zeros((1, 4, 8))))
-    np.testing.assert_allclose(out, img, rtol=1e-6, atol=1e-6)
+    # reference quirk (torch_dsnet.py:52-81): x1 is clamped before
+    # weight_l = x1 - x, so the exact right-edge coordinate samples to zero
+    np.testing.assert_allclose(out[:, :, :-1], img[:, :, :-1],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(out[:, :, -1], 0.0, atol=1e-6)
 
 
 def test_apply_disparity_integer_shift(rng):

@@ -1,0 +1,441 @@
+"""Per-family activation parity vs the torch reference (round-3 VERDICT #1).
+
+Weight-transport oracle tests for the model families the flagship tests
+don't cover: the DeepLabV3+ pair, PSMNet, the ext_small RCU family and
+the warp family. Each test instantiates the reference net on CPU with
+shimmed CUDA deps, transports its randomly-initialized weights into our
+flax model, and checks the heads agree to fp32 tolerance on identical
+inputs — proving every conv/BN/skip/gate/resize wiring at family
+granularity.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from pmt_learning_for_semantic_segmentation_and_disparity_tpu.core import (  # noqa: E402
+    PMTConfig,
+)
+from pmt_learning_for_semantic_segmentation_and_disparity_tpu import models  # noqa: E402
+from reference_oracle import load_reference_models  # noqa: E402
+
+
+def _tree_keys(tree):
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return {jax.tree_util.keystr(p): np.shape(v) for p, v in flat}
+
+
+def assert_tree_match(variables, params, stats):
+    init_keys = _tree_keys(variables["params"])
+    imp_keys = _tree_keys(params)
+    assert init_keys == imp_keys, (
+        f"param tree mismatch:\n only in init: "
+        f"{sorted(set(init_keys) - set(imp_keys))[:10]}\n only in import: "
+        f"{sorted(set(imp_keys) - set(init_keys))[:10]}\n shape diffs: "
+        f"{[(k, init_keys[k], imp_keys[k]) for k in init_keys if k in imp_keys and init_keys[k] != imp_keys[k]][:10]}"
+    )
+    init_stats = _tree_keys(variables.get("batch_stats", {}))
+    imp_stats = _tree_keys(stats)
+    assert init_stats == imp_stats, (
+        f"batch_stats mismatch: only init "
+        f"{sorted(set(init_stats) - set(imp_stats))[:10]} / only import "
+        f"{sorted(set(imp_stats) - set(init_stats))[:10]}"
+    )
+
+
+def assert_heads_close(pairs, tol=1e-4):
+    for name, ours, theirs in pairs:
+        ours = np.asarray(ours)
+        scale = max(1.0, float(np.abs(theirs).max()))
+        diff = np.abs(ours - theirs).max()
+        assert diff / scale < tol, (
+            f"{name}: max|d|={diff:.3e} (scale {scale:.3e}), "
+            f"ours range [{ours.min():.3f},{ours.max():.3f}] vs torch "
+            f"[{theirs.min():.3f},{theirs.max():.3f}]"
+        )
+
+
+def t2j(x):
+    return x.numpy().transpose(0, 2, 3, 1)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    load_reference_models()
+    return True
+
+
+def test_deeplab_mono_weight_transport(ref):
+    """'deeplab' = mono SPPNet xception65+aspp (models_deeplab/net.py:82-135,
+    os=8, update_bn_eps -> encoder eps 1e-3 per utilLoadNetwork.py:49-51)."""
+    from models_deeplab.net import SPPNet
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import_families import (
+        import_sppnet_mono,
+    )
+
+    torch.manual_seed(13)
+    net = SPPNet(output_channels=19)
+    net.update_bn_eps()
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_sppnet_mono(sd)
+
+    cfg = PMTConfig()
+    cfg.model.net = "deeplab"
+    cfg.data.dataset_name = "cityscapes"
+    model = models.get_network(cfg)
+
+    rng = np.random.default_rng(3)
+    left = rng.standard_normal((1, 64, 96, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), None, train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    with torch.no_grad():
+        t_out = net(torch.from_numpy(left).permute(0, 3, 1, 2))
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(left), None, train=False,
+                      rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([("seg1", out["seg1"], t2j(t_out))])
+
+
+def test_deeplab_mod_weight_transport(ref):
+    """'deeplab_mod' = stereo SPPNet (models_deeplab_mod/net.py:82-169):
+    shared xception65 with block-8/14 taps, unnormalized 1-D correlation,
+    three chained SPPDecoders (seg -> disp -> seg2)."""
+    from models_deeplab_mod.net import SPPNet as SPPNetDS
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import_families import (
+        import_sppnet_stereo,
+    )
+
+    torch.manual_seed(17)
+    net = SPPNetDS(output_channels=19)
+    net.update_bn_eps()
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_sppnet_stereo(sd)
+
+    cfg = PMTConfig()
+    cfg.model.net = "deeplab_mod"
+    cfg.data.dataset_name = "cityscapes"
+    model = models.get_network(cfg)
+
+    rng = np.random.default_rng(5)
+    left = rng.standard_normal((1, 64, 96, 3), dtype=np.float32)
+    right = rng.standard_normal((1, 64, 96, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), jnp.asarray(right), train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    with torch.no_grad():
+        t_seg, t_disp, t_seg2 = net(
+            torch.from_numpy(left).permute(0, 3, 1, 2),
+            torch.from_numpy(right).permute(0, 3, 1, 2),
+        )
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(left), jnp.asarray(right), train=False,
+                      rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([
+        ("seg1", out["seg1"], t2j(t_seg)),
+        ("disp1", out["disp1"], t2j(t_disp)),
+        ("seg2", out["seg2"], t2j(t_seg2)),
+    ])
+
+
+def test_psmnet_weight_transport(ref):
+    """'pspnet' = PSMNet stacked hourglass (stackhourglass.py:53-160):
+    SPP feature extractor, concat cost volume, 3x 3-D hourglass with
+    cascaded classifiers, trilinear upsample + soft-argmin. maxdisp=48
+    keeps the CPU volume small; the wiring is disparity-count agnostic."""
+    # models_psmnet/__init__.py exports the class AS `stackhourglass`
+    # (utilLoadNetwork.py:57 calls net_arch(192) on it directly)
+    from models_psmnet import stackhourglass
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import_families import (
+        import_psmnet,
+    )
+
+    torch.manual_seed(23)
+    net = stackhourglass(48)
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_psmnet(sd)
+
+    cfg = PMTConfig()
+    cfg.model.net = "pspnet"
+    cfg.model.max_disp_psm = 48
+    model = models.get_network(cfg)
+
+    rng = np.random.default_rng(7)
+    H, W = 256, 320  # /4 height 64 so the AvgPool(64) branch is non-degenerate
+    left = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    right = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), jnp.asarray(right), train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    # fp32 soft-argmin amplifies conv-stack rounding by ~Var_p(d) (sum of
+    # p*d over 48 levels), so run BOTH frameworks in fp64: any wiring slip
+    # (cost-volume shift, align_corners, residual wiring) would show up at
+    # O(1) disparity; fp64 agreement to 1e-8 proves exact equivalence.
+    net.double()
+    # the reference hardcodes torch.FloatTensor for its cost volume
+    # (stackhourglass.py:112) — alias it to DoubleTensor for the fp64 run
+    orig_ft = torch.FloatTensor
+    torch.FloatTensor = torch.DoubleTensor
+    try:
+        with torch.no_grad():
+            t_pred = net(torch.from_numpy(left).permute(0, 3, 1, 2).double(),
+                         torch.from_numpy(right).permute(0, 3, 1, 2).double())
+    finally:
+        torch.FloatTensor = orig_ft
+    with jax.enable_x64(True):
+        p64 = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64),
+                                     params)
+        s64 = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64),
+                                     stats)
+        out = model.apply({"params": p64, "batch_stats": s64},
+                          jnp.asarray(left, jnp.float64),
+                          jnp.asarray(right, jnp.float64), train=False,
+                          rngs={"dropout": jax.random.PRNGKey(0)})
+        disp = np.asarray(out["disp1"][..., 0])
+    assert_heads_close([("disp", disp, t_pred.numpy())], tol=1e-8)
+
+
+def _ext_small_pair(variant, net_key, torch_cls_name, seed):
+    """Instantiate the reference Ext_small* net + our ExtSmall, transport
+    weights, return (torch_net, model, variables, inputs)."""
+    from types import SimpleNamespace
+
+    import models.dsnet_t2_ext_small as ref_es
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import_families import (
+        import_ext_small,
+    )
+
+    torch.manual_seed(seed)
+    tcfg = SimpleNamespace(aspp=0)
+    cls = getattr(ref_es, torch_cls_name)
+    net = cls(tcfg, labels=2, pretrained=False, patch_type="1dcorr",
+              include_edges=False, backbone="densenet")
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_ext_small(sd, variant=variant)
+
+    cfg = PMTConfig()
+    cfg.model.net = net_key
+    cfg.model.backbone = "densenet"
+    cfg.model.corr_type = "1dcorr"
+    model = models.get_network(cfg)
+
+    rng = np.random.default_rng(seed + 1)
+    H, W = 256, 256  # AvgPool2d(128) pyramid branch needs tap0 >= 128
+    left = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    right = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    # left_e = compute_grad_mag(left) keeps the 3 RGB channels
+    # (utilTorchGate.py:198-204; aux_img_channel=3 at :219-222)
+    edge = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    kw = {"left_e": jnp.asarray(edge)} if variant != "v0" else {}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), jnp.asarray(right), train=False, **kw,
+    )
+    assert_tree_match(variables, params, stats)
+    return net, model, {"params": params, "batch_stats": stats}, \
+        (left, right, edge)
+
+
+def test_ext_small_edge_weight_transport(ref):
+    """'sdnet_mini_ext_small_edge' = Ext_small (dsnet_t2_ext_small.py:
+    130-381): ALL RCUs use_deconv=False, segNet(fc=1, labels=1) whose head
+    is the edge logit map, edge-conv skips, attention gate from s2."""
+    net, model, variables, (left, right, edge) = _ext_small_pair(
+        "edge", "sdnet_mini_ext_small_edge", "Ext_small", 29)
+    with torch.no_grad():
+        t_out = net(torch.from_numpy(left).permute(0, 3, 1, 2),
+                    torch.from_numpy(right).permute(0, 3, 1, 2),
+                    torch.from_numpy(edge).permute(0, 3, 1, 2))
+    t_edge, t_disp, t_seg2, _ = [o.numpy().transpose(0, 2, 3, 1)
+                                 for o in t_out]
+    out = model.apply(variables, jnp.asarray(left), jnp.asarray(right),
+                      train=False, left_e=jnp.asarray(edge),
+                      rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([
+        ("edge", out["edge"], t_edge),
+        ("disp1", out["disp1"], t_disp),
+        ("seg1", out["seg1"], t_seg2),
+    ])
+
+
+def test_ext_small_v0_weight_transport(ref):
+    """'sdnet_mini_ext_small' = Ext_smallv0 (:639-894): use_deconv=True
+    RCUs, segNet(fc=64, labels), backbone-tap skips (a_0, a_pyramidB_0)."""
+    net, model, variables, (left, right, _) = _ext_small_pair(
+        "v0", "sdnet_mini_ext_small", "Ext_smallv0", 31)
+    with torch.no_grad():
+        t_out = net(torch.from_numpy(left).permute(0, 3, 1, 2),
+                    torch.from_numpy(right).permute(0, 3, 1, 2))
+    t_seg1, t_disp, t_seg2, _ = [o.numpy().transpose(0, 2, 3, 1)
+                                 for o in t_out]
+    out = model.apply(variables, jnp.asarray(left), jnp.asarray(right),
+                      train=False, rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([
+        ("seg1", out["seg1"], t_seg1),
+        ("disp1", out["disp1"], t_disp),
+        ("seg2", out["seg2"], t_seg2),
+    ])
+
+
+def test_mobilenetv3_pretrained_backbone_transport(ref):
+    """-pretrained_path for mobilenet: a cuevhv-layout MobileNetV3-Large
+    checkpoint (models/mobilenetv3.py:91-230) transports into our backbone
+    and the five feature taps agree (the reference blindly zips checkpoint
+    keys by order, :223-229 — we map by name)."""
+    from models.mobilenetv3 import MobileNetV3
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.models.mobilenetv3 import (
+        MobileNetV3LargeFeatures,
+    )
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import_families import (
+        _MBV3_LARGE_CFG,
+        import_mobilenetv3_backbone,
+    )
+
+    torch.manual_seed(43)
+    cfgs = [list(c) for c in _MBV3_LARGE_CFG]
+    net = MobileNetV3(cfgs, mode="large")
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_mobilenetv3_backbone(sd)
+
+    model = MobileNetV3LargeFeatures()
+    rng = np.random.default_rng(19)
+    x = rng.standard_normal((1, 64, 96, 3), dtype=np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x), train=False)
+    assert_tree_match(variables, params, stats)
+
+    with torch.no_grad():
+        t_taps = net(torch.from_numpy(x).permute(0, 3, 1, 2))
+    taps = model.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(x), train=False)
+    assert len(taps) == len(t_taps) == 5
+    assert_heads_close([
+        (f"tap{i}", taps[i], t2j(t)) for i, t in enumerate(t_taps)
+    ])
+
+
+def test_xception65_pretrained_backbone_import(ref):
+    """-pretrained_path for the deeplab nets: an unprefixed Xception65
+    checkpoint grafts onto params['encoder'] of our SPPNetMono with an
+    identical tree (forward parity is proven by
+    test_deeplab_mono_weight_transport)."""
+    from models_deeplab.net import SPPNet
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import import (
+        apply_backbone_params,
+    )
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import_families import (
+        import_xception65_backbone,
+    )
+
+    torch.manual_seed(47)
+    net = SPPNet(output_channels=19)
+    sd = {k[len("encoder."):]: v.detach().numpy()
+          for k, v in net.state_dict().items() if k.startswith("encoder.")}
+    bp, bs = import_xception65_backbone(sd)
+
+    cfg = PMTConfig()
+    cfg.model.net = "deeplab"
+    cfg.data.dataset_name = "cityscapes"
+    model = models.get_network(cfg)
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, None, train=False,
+    )
+    grafted = apply_backbone_params(dict(variables), bp, bs,
+                                    path=("encoder",))
+    assert (_tree_keys(grafted["params"]["encoder"])
+            == _tree_keys(variables["params"]["encoder"]))
+    enc0 = np.asarray(grafted["params"]["encoder"]["conv1"]["kernel"])
+    assert np.allclose(enc0, np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
+
+
+def test_warp_divide_weight_transport(ref):
+    """'dsnet_warp' = minidsnetDivide (dsnet_t2_warp.py:577-703): 9-tap warp
+    piramidNet2 (4th pyramid level), shared SmallsegNet on left/right, corr
+    disp decoder, sigmoid attention blend of left seg with the
+    disparity-warped right seg (apply_disparity gather)."""
+    from types import SimpleNamespace
+
+    import models.dsnet_t2_warp as ref_warp
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import_families import (
+        import_minidsnet_divide,
+    )
+
+    torch.manual_seed(37)
+    net = ref_warp.minidsnetDivide(
+        SimpleNamespace(aspp=0), labels=2, pretrained=False,
+        patch_type="1dcorr", include_edges=False, backbone="densenet")
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_minidsnet_divide(sd)
+
+    cfg = PMTConfig()
+    cfg.model.net = "dsnet_warp"
+    cfg.model.backbone = "densenet"
+    cfg.model.corr_type = "1dcorr"
+    model = models.get_network(cfg)
+
+    rng = np.random.default_rng(11)
+    H, W = 256, 256
+    left = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    right = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), jnp.asarray(right), train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    with torch.no_grad():
+        t_out = net(torch.from_numpy(left).permute(0, 3, 1, 2),
+                    torch.from_numpy(right).permute(0, 3, 1, 2))
+    t_both, t_disp, t_left, _, t_right_w, t_at = [
+        o.numpy().transpose(0, 2, 3, 1) for o in t_out
+    ]
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(left), jnp.asarray(right), train=False,
+                      rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([
+        ("disp1", out["disp1"], t_disp),
+        ("seg_left", out["seg2"], t_left),
+        ("at_d", out["warped_right"], t_at),
+    ])
+    # The warped heads can only be compared where both frameworks sample
+    # the SAME coordinate: random-init weights predict |disp| up to ~4e4,
+    # so fp32 conv divergence — within the disp1 tolerance above — still
+    # moves the sample point by whole pixels there, and apply_disparity is
+    # additionally discontinuous at the W-1 clamp (torch_dsnet.py:52-81
+    # zeroes the output when x1 clamps). tests/test_ops.py proves the warp
+    # op itself bit-exact; here mask to pixels whose torch/jax coordinates
+    # agree to 1e-3 px and sit below the cliff, and require that the mask
+    # still covers a solid majority of the image.
+    grid = np.arange(W, dtype=np.float32)[None, None, :]
+    t_xs = np.clip(grid - t_disp[..., 0], 0.0, W - 1.0)
+    o_xs = np.clip(grid - np.asarray(out["disp1"])[..., 0], 0.0, W - 1.0)
+    safe = ((np.abs(t_xs - o_xs) < 1e-3)
+            & (t_xs < W - 1 - 1e-3))[..., None]
+    frac = float(safe.mean())
+    assert frac > 0.5, frac
+    for name, ours_h, theirs_h in (("seg_right_warped", out["seg3"], t_right_w),
+                                   ("seg_both", out["seg1"], t_both)):
+        ours_h = np.asarray(ours_h)
+        scale = max(1.0, float(np.abs(theirs_h).max()))
+        diff = float((np.abs(ours_h - theirs_h) * safe).max())
+        assert diff / scale < 1e-3, (name, diff, scale, frac)

@@ -113,7 +113,9 @@ def test_sameconv_param_paths_match_nn_conv(key):
     assert set(v["batch_stats"]["bn"].keys()) == {"mean", "var"}
     m2 = ConvBN(features=4, kernel=3, batchnorm=False)
     v2 = m2.init({"params": key}, x, False)
-    assert set(v2["params"]["conv"].keys()) == {"kernel", "bias"}
+    # bias-free like the reference's conv2dSame (torch_model.py:243) — the
+    # fabricated zero bias was removed in round 3 for trajectory parity
+    assert set(v2["params"]["conv"].keys()) == {"kernel"}
 
 
 def test_flagship_s2d_matches_plain(key):
