@@ -11,10 +11,15 @@ from typing import List, Sequence, Tuple
 
 
 def read_manifest(path: str) -> List[str]:
-    """GetDirFromText (utilLoad.py:1-8)."""
-    base = os.path.dirname(path)
-    if "kfold" in os.path.basename(base):
-        base = os.path.dirname(base)
+    """GetDirFromText (utilLoad.py:1-8). kfold manifests live one level
+    deeper (<root>/kfold*/list.txt); the reference resolves their entries
+    against everything BEFORE the first '/kfold' component
+    (file_name.rsplit('/kfold', 1)), matched anywhere in the path."""
+    norm = path.replace(os.sep, "/")
+    if "kfold" in norm:
+        base = norm.rsplit("/kfold", 1)[0]
+    else:
+        base = os.path.dirname(path)
     out = []
     with open(path) as f:
         for line in f:

@@ -81,6 +81,77 @@ def correlation_lax(
 
 
 # ---------------------------------------------------------------------------
+# MXU banded-matmul formulation (TPU-native: ride the systolic array)
+# ---------------------------------------------------------------------------
+
+
+def correlation1d_matmul(
+    f1: jnp.ndarray,
+    f2: jnp.ndarray,
+    pw: int,
+    tile: int = 128,
+) -> jnp.ndarray:
+    """1-D correlation as a banded matmul on the MXU.
+
+    The shift-multiply-reduce formulation is VPU/HBM-bound (pw passes over
+    f2). Instead, tile W into 128-column blocks and compute each block's
+    full local Gram matrix against a (128+pw-1)-column window of f2 with
+    ONE contraction over channels — a (128, C) x (C, 128+pw-1) matmul that
+    the MXU executes at bf16 peak — then read the pw diagonals out of the
+    (128, 128+pw-1) result. ~(128+pw-1)/pw more FLOPs than the VPU path,
+    but the MXU:VPU throughput ratio on v5e is far larger, so wall time
+    drops (measured in BENCH_NOTES; tools/bench_corr.py).
+
+    Semantics identical to correlation_lax(f1, f2, (1, pw)): zero padding
+    outside the image.
+    """
+    b, h, w, c = f1.shape
+    rw = pw // 2
+    wp = (-w) % tile
+    nt = (w + wp) // tile
+    win = tile + pw - 1
+    f1p = jnp.pad(f1, ((0, 0), (0, 0), (0, wp), (0, 0)))
+    f2p = jnp.pad(f2, ((0, 0), (0, 0), (rw, rw + wp), (0, 0)))
+    f1t = f1p.reshape(b, h, nt, tile, c)
+    # per-tile f2 windows (nt overlapping slices of width tile+pw-1)
+    widx = (jnp.arange(nt) * tile)[:, None] + jnp.arange(win)[None, :]
+    f2w = jnp.take(f2p, widx, axis=2)  # (b,h,nt,win,c)
+    m = jnp.einsum(
+        "bhntc,bhnsc->bhnts", f1t, f2w,
+        preferred_element_type=jnp.float32,
+    )  # (b,h,nt,tile,win) — the MXU contraction
+    band = jnp.arange(tile)[:, None] + jnp.arange(pw)[None, :]  # (tile,pw)
+    out = jnp.take_along_axis(
+        m, jnp.broadcast_to(band, (b, h, nt, tile, pw)), axis=-1
+    )
+    out = out.reshape(b, h, w + wp, pw)[:, :, :w, :]
+    return out.astype(f1.dtype)
+
+
+def correlation2d_matmul(
+    f1: jnp.ndarray,
+    f2: jnp.ndarray,
+    patch: Tuple[int, int],
+    normalize: bool = False,
+    tile: int = 128,
+) -> jnp.ndarray:
+    """2-D patch correlation as ph row-shifted banded matmuls (one
+    correlation1d_matmul per vertical displacement)."""
+    ph, pw = patch
+    rh = ph // 2
+    b, h, w, c = f1.shape
+    f2p = jnp.pad(f2, ((0, 0), (rh, rh), (0, 0), (0, 0)))
+    outs = []
+    for i in range(ph):
+        f2i = jax.lax.dynamic_slice(f2p, (0, i, 0, 0), (b, h, w, c))
+        outs.append(correlation1d_matmul(f1, f2i, pw, tile=tile))
+    out = jnp.concatenate(outs, axis=-1)  # (b,h,w,ph*pw), row-major shifts
+    if normalize:
+        out = out / jnp.asarray(c, out.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Pallas TPU kernel — 1-D correlation
 # ---------------------------------------------------------------------------
 
