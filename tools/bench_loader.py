@@ -71,12 +71,79 @@ def main():
 
     py = run_mode("off")
     nat = run_mode("on")
+
+    # --- DataLoader-level throughput at real worker counts (round-3 item 9:
+    # replace the "~3 threads would clear step time" extrapolation with a
+    # measured figure). num_workers is the ThreadPoolExecutor width in
+    # data/pipeline.DataLoader; the native decode itself releases the GIL
+    # (ctypes) so on multi-core hosts workers overlap in C.
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.data.pipeline import (
+        DataLoader,
+    )
+
+    def run_loader(workers, batches=4, bs=4):
+        ds = StereoSegDataset(*args, native_io="on",
+                              transform=RandomCropAugment(
+                                  (256, 512), "roses", focus_person=True,
+                                  resize_img=True),
+                              color_jitter=True, **kw)
+        ds[0]
+        dl = DataLoader(ds, batch_size=bs, shuffle=False,
+                        num_workers=workers, drop_last=False)
+        it = iter(dl)
+        next(it)  # warm the pool
+        t0 = time.perf_counter()
+        got = 1
+        for b in it:
+            got += 1
+        for _ in range(batches - got):  # extra epochs if the fixture is small
+            for b in iter(dl):
+                got += 1
+        return got * bs / (time.perf_counter() - t0)
+
+    dl1 = run_loader(1)
+    dl3 = run_loader(3)
+
+    # --- GIL-overlap probe: how much can OTHER python threads progress
+    # while one thread sits in the native decode? Ratio ~1.0 means the
+    # decode fully releases the GIL (scales with cores); ~0 means it holds
+    # it (threads can't help even on big hosts).
+    import threading
+
+    ds = StereoSegDataset(*args, native_io="on", **kw)
+    ds[0]
+
+    def spin(stop, counter):
+        while not stop.is_set():
+            counter[0] += 1
+
+    def spin_rate(during_decode: bool, secs=1.5):
+        stop, counter = threading.Event(), [0]
+        t = threading.Thread(target=spin, args=(stop, counter))
+        t.start()
+        t0 = time.perf_counter()
+        if during_decode:
+            while time.perf_counter() - t0 < secs:
+                ds[0]
+        else:
+            time.sleep(secs)
+        stop.set()
+        t.join()
+        return counter[0] / (time.perf_counter() - t0)
+
+    base = spin_rate(False)
+    overlapped = spin_rate(True)
+
     print(json.dumps({
         "metric": "loader_samples_per_sec",
         "hw": hw,
         "python_cv2": round(py, 2),
         "native_cc": round(nat, 2),
         "speedup": round(nat / py, 2),
+        "dataloader_w1": round(dl1, 2),
+        "dataloader_w3": round(dl3, 2),
+        "gil_release_fraction": round(overlapped / base, 3),
+        "host_cores": os.cpu_count(),
     }))
 
 
