@@ -31,7 +31,7 @@ from ..ops.s2d import (
     to_s2d_nearest,
 )
 from .blocks import Conv2DownUp, ConvBN, ConvOut, SameConv, he_fan_out
-from .pyramid import PiramidNet2
+from .pyramid import PiramidNet2, PiramidNetV1
 
 
 def _even_hw(hw: Tuple[int, int]) -> bool:
@@ -426,7 +426,9 @@ class MiniDSNetExt(nn.Module):
 
 class MiniDSNet(nn.Module):
     """minidsnet (dsnet_t2.py:825-912): single seg + disp head, outputs
-    duplicated (outputType smallOutPair)."""
+    duplicated (outputType smallOutPair). Uses the ORIGINAL piramidNet
+    (:324-397, densenet-only, no enriched tap1) like the reference — its
+    b2 tap (the 5th return) feeds the correlation."""
 
     cfg: ModelConfig
     labels: int = 2
@@ -442,7 +444,7 @@ class MiniDSNet(nn.Module):
         full_hw = (left.shape[1], left.shape[2])
         use_s2d = bool(getattr(m, "s2d_heads", True)) and _even_hw(full_hw)
 
-        pyr = PiramidNet2(backbone=m.backbone, axis_name=ax, name="features")
+        pyr = PiramidNetV1(axis_name=ax, name="features")
         a = pyr(left, train)
         b = pyr(right, train)
         a4, b4 = a[4], b[4]

@@ -219,32 +219,32 @@ class MiniDSNetDivideDisp(_WarpCommon):
 
 class SegDSNet(_WarpCommon):
     """sdnet_seg / seg_dsnet (dsnet_t2.py:2087-2177): per-view seg heads on
-    the deepest tap; disp trained self-supervised (outputType smallOutWarp:
-    L1 zeroed, photo-consistency instead). We return the disparity-warped
-    right image as warped_right so the photo loss is well-defined (the
-    reference's smallOutWarp dispatch leaves it None and would crash,
-    torch_implementation.py:178-179 + 314-317)."""
+    the deepest tap (the segNet is SHARED between views, with the shared
+    conv2d_ba0 image conv as skip); disp trained self-supervised
+    (outputType smallOutWarp: L1 zeroed, photo-consistency instead). Uses
+    the ORIGINAL piramidNet (:324-397) like minidsnet. We additionally
+    return the disparity-warped right image as warped_right so the photo
+    loss is well-defined (the reference's smallOutWarp dispatch leaves it
+    None and would crash, torch_implementation.py:178-179 + 314-317)."""
 
     @nn.compact
     def __call__(self, input_a, input_b, train: bool = False, **_):
+        from .pyramid import PiramidNetV1
         from .sdnet import SegNetHead
 
         ax = self.axis_name
         full_hw = (input_a.shape[1], input_a.shape[2])
-        pyr = PiramidNet2Warp(backbone=self.cfg.backbone, axis_name=ax,
-                              name="features")
+        pyr = PiramidNetV1(axis_name=ax, name="features")
         a = pyr(input_a, train)
         b = pyr(input_b, train)
-        a4, a_py2 = a[4], a[7]
-        b4, b_py2 = b[4], b[7]
+        a4, a_py2 = a[4], a[5]
+        b4, b_py2 = b[4], b[5]
 
-        def ba(inp, name):
-            return nn.relu(ConvBN(1, 5, dilation=2, axis_name=ax,
-                                  name=name)(inp, train))
-
-        xleft2 = ba(input_a, "conv2d_ba1")
-        xleft0 = ba(input_a, "conv2d_ba0")
-        xright0 = ba(input_b, "conv2d_ba0_r")
+        ba0 = ConvBN(1, 5, dilation=2, axis_name=ax, name="conv2d_ba0")
+        ba1 = ConvBN(1, 5, dilation=2, axis_name=ax, name="conv2d_ba1")
+        xleft2 = nn.relu(ba1(input_a, train))
+        xleft0 = nn.relu(ba0(input_a, train))
+        xright0 = nn.relu(ba0(input_b, train))
 
         head = SegNetHead(self.labels, axis_name=ax, name="segNet")
         x, x1, seg_left = head(a4, full_hw, xleft0, train)

@@ -23,8 +23,12 @@ def apply_disparity(images: jnp.ndarray, x_offset: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = images.shape
     if x_offset.ndim == 4:
         x_offset = x_offset[..., 0]
-    x_base = jnp.arange(w, dtype=jnp.float32)[None, None, :]
-    xs = jnp.clip(x_base + x_offset.astype(jnp.float32), 0.0, w - 1.0)
+    # coordinates in the offset dtype, fp32 minimum (bf16 offsets upcast for
+    # sub-pixel precision; fp64 offsets keep fp64, matching torch promotion
+    # of the reference's fp32 grid + offsets — torch_dsnet.py:30-42)
+    dt = jnp.promote_types(x_offset.dtype, jnp.float32)
+    x_base = jnp.arange(w, dtype=dt)[None, None, :]
+    xs = jnp.clip(x_base + x_offset.astype(dt), 0.0, w - 1.0)
     x0 = jnp.floor(xs)
     i0 = x0.astype(jnp.int32)[..., None]  # (B,H,W,1)
     i1 = jnp.minimum(i0 + 1, w - 1)
@@ -33,7 +37,7 @@ def apply_disparity(images: jnp.ndarray, x_offset: jnp.ndarray) -> jnp.ndarray:
     # (xs == W-1, incl. all out-of-range offsets) gets weight_l = weight_r
     # = 0 and samples to ZERO. Occlusion-masking by construction — keep the
     # exact semantics for checkpoint/eval parity.
-    w_l = (i1[..., 0].astype(jnp.float32) - xs)[..., None]
+    w_l = (i1[..., 0].astype(dt) - xs)[..., None]
     w_r = (xs - x0)[..., None]
     pix_l = jnp.take_along_axis(images, jnp.broadcast_to(i0, (b, h, w, c)), axis=2)
     pix_r = jnp.take_along_axis(images, jnp.broadcast_to(i1, (b, h, w, c)), axis=2)

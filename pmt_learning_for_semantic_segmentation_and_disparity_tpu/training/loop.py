@@ -55,6 +55,14 @@ def _import_torch_checkpoint(cfg: PMTConfig, path: str):
         )
     elif net == "sdnetv2":
         params, stats = import_dsnetv2(sd, labels=cfg.data.n_labels)
+    elif net == "sdnet_mini":
+        from ..utils.torch_import import import_minidsnet
+
+        params, stats = import_minidsnet(sd, labels=cfg.data.n_labels)
+    elif net == "sdnet_seg":
+        from ..utils.torch_import import import_seg_dsnet
+
+        params, stats = import_seg_dsnet(sd, labels=cfg.data.n_labels)
     elif net == "deeplab":
         params, stats = import_sppnet_mono(sd)
     elif net == "deeplab_mod":
@@ -67,13 +75,17 @@ def _import_torch_checkpoint(cfg: PMTConfig, path: str):
                    "sdnet_mini_ext_small_edge": "edge",
                    "sdnet_mini_ext_small_edgev2": "v2"}[net]
         params, stats = import_ext_small(sd, variant=variant)
-    elif net == "dsnet_warp":
-        params, stats = import_minidsnet_divide(sd)
+    elif net in ("dsnet_warp", "dsnet_warp_soft", "dsnet_warp_disp",
+                 "dsnet_warp_disp_consist"):
+        variant = {"dsnet_warp": "divide", "dsnet_warp_soft": "soft",
+                   "dsnet_warp_disp": "disp",
+                   "dsnet_warp_disp_consist": "disp2"}[net]
+        params, stats = import_minidsnet_divide(sd, variant=variant)
     else:
         raise NotImplementedError(
             f"torch-checkpoint import not wired for -net {net} "
             "(available: sdnet_mini_ext, sdnetv2, deeplab, deeplab_mod, "
-            "pspnet, the ext_small family, dsnet_warp)")
+            "pspnet, the ext_small family, the dsnet_warp family)")
     import jax.numpy as jnp
 
     as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)

@@ -371,6 +371,80 @@ def import_minidsnet_ext(state_dict, labels=2, use_att=True,
     return params, stats
 
 
+def import_minidsnet(state_dict, labels=2):
+    """minidsnet 'sdnet_mini' (dsnet_t2.py:825-912) -> MiniDSNet {params,
+    batch_stats}. Uses the ORIGINAL piramidNet (:324-397): 5 branch0 convs
+    on tap0 + 3 'branch1' convs on tap2. conv2d_ba2/ba3 and conv1d_3 are
+    constructed but unused by forward — skipped. The two used image convs
+    ba0/ba1 merge into our single 3->2 ConvBN (channel order ba0, ba1)."""
+    sd = state_dict
+    params, stats = {}, {}
+    params["features"], stats["features"] = import_piramidnet2(
+        sd, branches=((0, 5), (1, 3)))
+
+    ks, scs, bis, mes, vas = [], [], [], [], []
+    for i in (0, 1):
+        ks.append(conv_kernel(_get(sd, f"conv2d_ba{i}.0.layers.0.c2d.weight")))
+        scs.append(_get(sd, f"conv2d_ba{i}.0.layers.1.weight"))
+        bis.append(_get(sd, f"conv2d_ba{i}.0.layers.1.bias"))
+        mes.append(_get(sd, f"conv2d_ba{i}.0.layers.1.running_mean"))
+        vas.append(_get(sd, f"conv2d_ba{i}.0.layers.1.running_var"))
+    params["conv2d_ba"] = {
+        "conv": {"kernel": np.concatenate(ks, axis=-1)},
+        "bn": {"scale": np.concatenate(scs), "bias": np.concatenate(bis)},
+    }
+    stats["conv2d_ba"] = {"bn": {"mean": np.concatenate(mes),
+                                 "var": np.concatenate(vas)}}
+
+    seg_p, seg_s = {}, {}
+    seg_p["conv1d_1"] = _conv_plain(sd, "segNet.conv1d_1", 64)
+    seg_p["cdu1"], seg_s["cdu1"] = _cdu(sd, "segNet.Conv2DownUp1")
+    seg_p["conv1d_2"] = _conv_plain(sd, "segNet.conv1d_2", 32)
+    seg_p["cdu2"], seg_s["cdu2"] = _cdu(sd, "segNet.Conv2DownUp2.0",
+                                        last=False)
+    seg_p["out"] = _deconv_out(sd, "segNet.Conv2DownUp2.1")
+    params["segNet"], stats["segNet"] = seg_p, seg_s
+
+    params["corrConv2d"] = _conv_plain(sd, "corrConv2d", 128)
+    params["cdu3"], stats["cdu3"] = _cdu(sd, "Conv2DownUp3")
+    params["cdu4"], stats["cdu4"] = _cdu(sd, "Conv2DownUp4")
+    params["conv1d_2"] = _conv_plain(sd, "conv1d_2", 64)
+    params["cdu5"], stats["cdu5"] = _cdu(sd, "Conv2DownUp5", last=False)
+    params["dispoutConv"] = _deconv_out(sd, "dispoutConv")
+    return params, stats
+
+
+def import_seg_dsnet(state_dict, labels=2):
+    """seg_dsnet 'sdnet_seg' (dsnet_t2.py:2087-2177) -> SegDSNet {params,
+    batch_stats}: minidsnet's trunk with a SHARED per-view segNet over the
+    deepest tap (in 1024) and the shared conv2d_ba0 skip. conv2d_ba2/ba3
+    and conv1d_3 unused by forward — skipped."""
+    sd = state_dict
+    params, stats = {}, {}
+    params["features"], stats["features"] = import_piramidnet2(
+        sd, branches=((0, 5), (1, 3)))
+    for name in ("conv2d_ba0", "conv2d_ba1"):
+        cp, cs = _convbn(sd, f"{name}.0")
+        params[name], stats[name] = cp, cs
+
+    seg_p, seg_s = {}, {}
+    seg_p["conv1d_1"] = _conv_plain(sd, "segNet.conv1d_1", 64)
+    seg_p["cdu1"], seg_s["cdu1"] = _cdu(sd, "segNet.Conv2DownUp1")
+    seg_p["conv1d_2"] = _conv_plain(sd, "segNet.conv1d_2", 32)
+    seg_p["cdu2"], seg_s["cdu2"] = _cdu(sd, "segNet.Conv2DownUp2.0",
+                                        last=False)
+    seg_p["out"] = _deconv_out(sd, "segNet.Conv2DownUp2.1")
+    params["segNet"], stats["segNet"] = seg_p, seg_s
+
+    params["corrConv2d"] = _conv_plain(sd, "corrConv2d", 128)
+    params["cdu3"], stats["cdu3"] = _cdu(sd, "Conv2DownUp3")
+    params["cdu4"], stats["cdu4"] = _cdu(sd, "Conv2DownUp4")
+    params["conv1d_2"] = _conv_plain(sd, "conv1d_2", 64)
+    params["cdu5"], stats["cdu5"] = _cdu(sd, "Conv2DownUp5", last=False)
+    params["dispoutConv"] = _deconv_out(sd, "dispoutConv")
+    return params, stats
+
+
 def _convbn_single(sd, prefix):
     """conv2d_ba-style Sequential(convbn, ReLU) -> ConvBN (with BN)."""
     return _convbn(sd, f"{prefix}.0")

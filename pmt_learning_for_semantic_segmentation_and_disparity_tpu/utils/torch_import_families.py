@@ -418,13 +418,16 @@ def import_ext_small(state_dict, variant="edge") -> Tuple[Tree, Tree]:
 # warp family (models/dsnet_t2_warp.py)
 # ---------------------------------------------------------------------------
 
-def import_minidsnet_divide(state_dict) -> Tuple[Tree, Tree]:
-    """minidsnetDivide 'dsnet_warp' (dsnet_t2_warp.py:577-703), densenet ->
-    MiniDSNetDivide {params, batch_stats}.
+def import_minidsnet_divide(state_dict, variant="divide") -> Tuple[Tree, Tree]:
+    """The warp family (models/dsnet_t2_warp.py) -> MiniDSNetDivide /
+    MiniDSNetDivideSoftmax / MiniDSNetDivideDisp {params, batch_stats}.
+    ``variant``: 'divide' (:577-703), 'soft' (:169-308), 'disp' (:704-836),
+    'disp2' (:839-972) — the module sets differ only in the Conv2DownUp7
+    attention head (see below).
 
     The warp-family piramidNet2 (:339-480) adds a 4th pyramid tap
     (branch3_0/branch3_1). conv2d_ba0/2/3, conv1d_3 and segNetB2 are
-    constructed by the torch net but unused by forward (:637-703) — skipped,
+    constructed by the torch nets but unused by forward — skipped,
     like the flagship importer's conv1d_3."""
     sd = state_dict
     p: Tree = {}
@@ -450,6 +453,16 @@ def import_minidsnet_divide(state_dict) -> Tuple[Tree, Tree]:
     p["conv1d_2"] = _conv_plain(sd, "conv1d_2", 64)
     p["cdu5"], s["cdu5"] = _cdu(sd, "Conv2DownUp5", last=False)
     p["dispoutConv"] = _deconv_out(sd, "dispoutConv")
-    p["cdu7"], s["cdu7"] = _cdu(sd, "Conv2DownUp7")
-    p["conv1d_at_d"] = _conv_plain(sd, "conv1d_at_d", 1)
+    if variant == "soft":
+        # minidsnetDivideSoftmax (:169-308): Conv2DownUp7 is a Sequential
+        # (Conv2DownUp(96,64,lastLayer=False), ConvTranspose out(labels));
+        # the sigmoid conv1d_at_d attention is replaced by per-class softmax
+        p["cdu7"], s["cdu7"] = _cdu(sd, "Conv2DownUp7.0", last=False)
+        p["cdu7_out"] = _deconv_out(sd, "Conv2DownUp7.1")
+    else:
+        # divide (:577-703) / disp (:704-836) / disp2 (:839-972): plain
+        # Conv2DownUp7 + 1x1 sigmoid attention (input 96 ch for divide,
+        # 128 for the disp variants — key layout identical)
+        p["cdu7"], s["cdu7"] = _cdu(sd, "Conv2DownUp7")
+        p["conv1d_at_d"] = _conv_plain(sd, "conv1d_at_d", 1)
     return p, s

@@ -293,6 +293,29 @@ def test_ext_small_v0_weight_transport(ref):
     ])
 
 
+def test_ext_small_v2_weight_transport(ref):
+    """'sdnet_mini_ext_small_edgev2' = Ext_smallv2 (:382-638): v0 wiring
+    (use_deconv=True, a_0/a_pyramidB_0 skips, edge-conv skips commented
+    out) but segNet labels=1 like the edge variant; forward takes left_e
+    and ignores it in the skips."""
+    net, model, variables, (left, right, edge) = _ext_small_pair(
+        "v2", "sdnet_mini_ext_small_edgev2", "Ext_smallv2", 41)
+    with torch.no_grad():
+        t_out = net(torch.from_numpy(left).permute(0, 3, 1, 2),
+                    torch.from_numpy(right).permute(0, 3, 1, 2),
+                    torch.from_numpy(edge).permute(0, 3, 1, 2))
+    t_edge, t_disp, t_seg2, _ = [o.numpy().transpose(0, 2, 3, 1)
+                                 for o in t_out]
+    out = model.apply(variables, jnp.asarray(left), jnp.asarray(right),
+                      train=False, left_e=jnp.asarray(edge),
+                      rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([
+        ("edge", out["edge"], t_edge),
+        ("disp1", out["disp1"], t_disp),
+        ("seg1", out["seg1"], t_seg2),
+    ])
+
+
 def test_mobilenetv3_pretrained_backbone_transport(ref):
     """-pretrained_path for mobilenet: a cuevhv-layout MobileNetV3-Large
     checkpoint (models/mobilenetv3.py:91-230) transports into our backbone
@@ -439,3 +462,230 @@ def test_warp_divide_weight_transport(ref):
         scale = max(1.0, float(np.abs(theirs_h).max()))
         diff = float((np.abs(ours_h - theirs_h) * safe).max())
         assert diff / scale < 1e-3, (name, diff, scale, frac)
+
+
+def _warp_variant_fp64(ref_cls_name, net_key, variant, seed,
+                       torch_extra=None, jax_extra=None):
+    """Instantiate a warp-family reference net and ours, transport weights,
+    run BOTH in fp64 and return (torch_outs, our_out_dict).
+
+    fp64 on both sides shrinks the predicted-disparity rounding below any
+    sampling-coordinate shift, so the heads that pass through
+    apply_disparity(pred_disp) — discontinuous in the disparity — can be
+    compared tightly without the coordinate masking the fp32 divide test
+    needs (same trick as the PSMNet soft-argmin test above)."""
+    from types import SimpleNamespace
+
+    import models.dsnet_t2_warp as ref_warp
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import_families import (
+        import_minidsnet_divide,
+    )
+
+    torch.manual_seed(seed)
+    net = getattr(ref_warp, ref_cls_name)(
+        SimpleNamespace(aspp=0), labels=2, pretrained=False,
+        patch_type="1dcorr", include_edges=False, backbone="densenet")
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_minidsnet_divide(sd, variant=variant)
+
+    cfg = PMTConfig()
+    cfg.model.net = net_key
+    cfg.model.backbone = "densenet"
+    cfg.model.corr_type = "1dcorr"
+    model = models.get_network(cfg)
+
+    rng = np.random.default_rng(seed + 1)
+    H, W = 256, 256
+    left = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    right = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    j_extra = dict(jax_extra or {})
+    j_extra32 = {k: jnp.asarray(np.asarray(v, np.float32))
+                 for k, v in j_extra.items()}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), jnp.asarray(right), train=False, **j_extra32,
+    )
+    assert_tree_match(variables, params, stats)
+
+    net.double()
+    t_args = [torch.from_numpy(left).permute(0, 3, 1, 2).double(),
+              torch.from_numpy(right).permute(0, 3, 1, 2).double()]
+    if torch_extra is not None:
+        t_args.append(torch_extra)
+    with torch.no_grad():
+        t_out = net(*t_args)
+    with jax.enable_x64(True):
+        p64 = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64),
+                                     params)
+        s64 = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64),
+                                     stats)
+        j_extra64 = {k: jnp.asarray(np.asarray(v), jnp.float64)
+                     for k, v in j_extra.items()}
+        out = model.apply({"params": p64, "batch_stats": s64},
+                          jnp.asarray(left, jnp.float64),
+                          jnp.asarray(right, jnp.float64), train=False,
+                          rngs={"dropout": jax.random.PRNGKey(0)},
+                          **j_extra64)
+    t_out = [o.numpy().transpose(0, 2, 3, 1) for o in t_out]
+    return t_out, out
+
+
+def test_minidsnet_weight_transport(ref):
+    """'sdnet_mini' = minidsnet (dsnet_t2.py:825-912): the ORIGINAL
+    piramidNet (:324-397) with b2 feeding the correlation, segNet over
+    cat(a4,b4) with the 1-ch ba0 image-conv skip, corr disp decoder.
+    (The reference's getNetwork would crash for this key — minidsnet
+    takes no `backbone` kwarg, utilLoadNetwork.py:58 — so we construct
+    it directly like its train scripts did.)"""
+    from types import SimpleNamespace
+
+    ref_mod = load_reference_models()
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import import (
+        import_minidsnet,
+    )
+
+    torch.manual_seed(71)
+    net = ref_mod.minidsnet(SimpleNamespace(), labels=2, pretrained=False,
+                            patch_type="1dcorr", include_edges=False)
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_minidsnet(sd)
+
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini"
+    cfg.model.corr_type = "1dcorr"
+    model = models.get_network(cfg)
+
+    rng = np.random.default_rng(73)
+    H, W = 256, 256
+    left = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    right = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), jnp.asarray(right), train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    with torch.no_grad():
+        t_seg, t_disp, _, _ = net(torch.from_numpy(left).permute(0, 3, 1, 2),
+                                  torch.from_numpy(right).permute(0, 3, 1, 2))
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(left), jnp.asarray(right), train=False,
+                      rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([
+        ("seg1", out["seg1"], t2j(t_seg)),
+        ("disp1", out["disp1"], t2j(t_disp)),
+    ])
+
+
+def test_seg_dsnet_weight_transport(ref):
+    """'sdnet_seg' = seg_dsnet (dsnet_t2.py:2087-2177): minidsnet trunk
+    with a SHARED per-view segNet on the deepest tap (shared conv2d_ba0
+    skip); the right seg head is warped by the predicted disparity. fp64
+    on both sides for the warp-dependent head (see _warp_variant_fp64)."""
+    from types import SimpleNamespace
+
+    ref_mod = load_reference_models()
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import import (
+        import_seg_dsnet,
+    )
+
+    torch.manual_seed(79)
+    net = ref_mod.seg_dsnet(SimpleNamespace(), labels=2, pretrained=False,
+                            patch_type="1dcorr", include_edges=False)
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_seg_dsnet(sd)
+
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_seg"
+    cfg.model.corr_type = "1dcorr"
+    model = models.get_network(cfg)
+
+    rng = np.random.default_rng(83)
+    H, W = 256, 256
+    left = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    right = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), jnp.asarray(right), train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    net.double()
+    with torch.no_grad():
+        t_seg, t_disp, t_seg_rw, _ = net(
+            torch.from_numpy(left).permute(0, 3, 1, 2).double(),
+            torch.from_numpy(right).permute(0, 3, 1, 2).double())
+    with jax.enable_x64(True):
+        p64 = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64),
+                                     params)
+        s64 = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64),
+                                     stats)
+        out = model.apply({"params": p64, "batch_stats": s64},
+                          jnp.asarray(left, jnp.float64),
+                          jnp.asarray(right, jnp.float64), train=False,
+                          rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([
+        ("seg1", out["seg1"], t2j(t_seg)),
+        ("disp1", out["disp1"], t2j(t_disp)),
+        ("seg_right_warped", out["seg2"], t2j(t_seg_rw)),
+    ], tol=1e-8)
+
+
+def test_warp_softmax_weight_transport(ref):
+    """'dsnet_warp_soft' = minidsnetDivideSoftmax (dsnet_t2_warp.py:
+    169-308): per-class softmax attention from a Conv2DownUp7 Sequential
+    head; BOTH seg heads take the LEFT pyramid-b0 tap (:242-243 quirk);
+    right seg is warped by the predicted disparity before the blend."""
+    t_out, out = _warp_variant_fp64(
+        "minidsnetDivideSoftmax", "dsnet_warp_soft", "soft", 53)
+    t_left, t_disp, t_both, _, t_right_w, t_at = t_out
+    assert_heads_close([
+        ("seg_left", out["seg1"], t_left),
+        ("disp1", out["disp1"], t_disp),
+        ("seg_both", out["seg2"], t_both),
+        ("seg_right_warped", out["seg3"], t_right_w),
+        ("at_softmax", out["warped_right"], t_at),
+    ], tol=1e-8)
+
+
+def test_warp_disp_weight_transport(ref):
+    """'dsnet_warp_disp' = minidsnetDivideDisp (:704-836): the right IMAGE
+    is warped into the left view with GT disparity (masked by disp>0)
+    before the second backbone/seg pass; sigmoid attention over the
+    128-ch (x1_1, x2_1, y3) concat."""
+    rng = np.random.default_rng(61)
+    disp_np = (rng.random((1, 1, 256, 256)) * 8.0).astype(np.float64)
+    t_disp_in = torch.from_numpy(disp_np)
+    # keep fp64: both frameworks must sample at bit-identical coordinates
+    j_disp_in = np.transpose(disp_np, (0, 2, 3, 1))
+    t_out, out = _warp_variant_fp64(
+        "minidsnetDivideDisp", "dsnet_warp_disp", "disp", 59,
+        torch_extra=t_disp_in, jax_extra={"disp_gt": j_disp_in})
+    t_both, t_disp, t_left, _, t_right, t_at = t_out
+    assert_heads_close([
+        ("seg_both", out["seg1"], t_both),
+        ("disp1", out["disp1"], t_disp),
+        ("seg_left", out["seg2"], t_left),
+        ("seg_right", out["seg3"], t_right),
+        ("at_d", out["warped_right"], t_at),
+    ], tol=1e-8)
+
+
+def test_warp_disp_consist_weight_transport(ref):
+    """'dsnet_warp_disp_consist' = minidsnetDivideDisp2 (:839-972): like
+    disp but warps the right image with the PREDICTED disparity and
+    returns the warped image (for the consistency loss) instead of the
+    attention map."""
+    t_out, out = _warp_variant_fp64(
+        "minidsnetDivideDisp2", "dsnet_warp_disp_consist", "disp2", 67)
+    t_both, t_disp, t_left, _, t_right, t_warped = t_out
+    assert_heads_close([
+        ("seg_both", out["seg1"], t_both),
+        ("disp1", out["disp1"], t_disp),
+        ("seg_left", out["seg2"], t_left),
+        ("seg_right", out["seg3"], t_right),
+        ("warped_right_img", out["warped_right"], t_warped),
+    ], tol=1e-8)
