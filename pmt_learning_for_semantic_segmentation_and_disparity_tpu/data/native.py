@@ -44,6 +44,8 @@ def load_native() -> Optional[ctypes.CDLL]:
     lib = ctypes.CDLL(path)
     lib.pmt_version.restype = ctypes.c_int
     lib.pmt_decode_roses_batch.restype = ctypes.c_int
+    lib.pmt_decode_city_batch.restype = ctypes.c_int
+    lib.pmt_read_png_gray16.restype = ctypes.c_int
     lib.pmt_read_png_rgb.restype = ctypes.c_int
     lib.pmt_png_info.restype = ctypes.c_int
     _lib = lib
@@ -137,5 +139,56 @@ def decode_roses_batch(
     )
     if rc != 0:
         raise IOError(f"pmt_decode_roses_batch -> {rc}")
+    return {"left": left, "right": right, "disp": disp, "seg": seg,
+            "edges": edges}
+
+
+def decode_city_batch(
+    left_paths: Sequence[str],
+    right_paths: Sequence[str],
+    disp_paths: Sequence[str],
+    seg_paths: Sequence[str],
+    inst_paths: Sequence[str],
+    hw,
+    lut: np.ndarray,
+    n_labels: int = 19,
+    activation: str = "linear",
+    max_d: float = 1.0,
+    mean=(0.0, 0.0, 0.0),
+    std=(1.0, 1.0, 1.0),
+    n_threads: int = 8,
+):
+    """kitti/cityscapes flavor: uint16 disparity png / 256, labelId ->
+    trainId LUT (256 uint8, 255 = ignore -> last channel) one-hot over
+    n_labels+1 channels, instance sobel edges. Returns stacked float32
+    (B,H,W,C) arrays matching StereoSegDataset.load_raw."""
+    lib = load_native()
+    assert lib is not None, "native library unavailable — run native/build.sh"
+    n = len(left_paths)
+    h, w = hw
+    nc = n_labels + 1
+    left = np.empty((n, h, w, 3), np.float32)
+    right = np.empty((n, h, w, 3), np.float32)
+    disp = np.empty((n, h, w, 1), np.float32)
+    seg = np.empty((n, h, w, nc), np.float32)
+    edges = np.empty((n, h, w, 1), np.float32)
+    meanv = np.asarray(mean, np.float32)
+    stdv = np.asarray(std, np.float32)
+    lut8 = np.ascontiguousarray(np.asarray(lut, np.uint8))
+    assert lut8.shape == (256,)
+    fp = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.pmt_decode_city_batch(
+        _charpp(left_paths), _charpp(right_paths), _charpp(disp_paths),
+        _charpp(seg_paths), _charpp(inst_paths),
+        n, h, w, nc, lut8.ctypes.data_as(u8p), _ACT[activation],
+        ctypes.c_float(max_d),
+        meanv.ctypes.data_as(fp), stdv.ctypes.data_as(fp),
+        left.ctypes.data_as(fp), right.ctypes.data_as(fp),
+        disp.ctypes.data_as(fp), seg.ctypes.data_as(fp),
+        edges.ctypes.data_as(fp), n_threads,
+    )
+    if rc != 0:
+        raise IOError(f"pmt_decode_city_batch -> {rc}")
     return {"left": left, "right": right, "disp": disp, "seg": seg,
             "edges": edges}

@@ -340,6 +340,7 @@ class MiniDSNetExt(nn.Module):
                 s2 = jnp.concatenate([s2, x3, y3], axis=-1)
         s2 = Conv2DownUp(64, 3, dropout=dropout, axis_name=ax, name="cdu10")(s2, train)
 
+        cdu11_ch = 64 if self.variant == "piramid_res" else 32
         if aspp_mod == 2:
             a0_hw = (a0.shape[1], a0.shape[2])
             if use_s2d and _even_hw(a0_hw):
@@ -347,7 +348,8 @@ class MiniDSNetExt(nn.Module):
                                    space_to_depth(a0)])
                 sb2 = nn.relu(ConvBN(32, 1, batchnorm=False, axis_name=ax,
                                      name="conv1d_5")(s2_s, train, s2d=True))
-                sb2 = Conv2DownUp(32, 3, last_layer=False, dropout=dropout,
+                sb2 = Conv2DownUp(cdu11_ch, 3, last_layer=False,
+                                  dropout=dropout,
                                   axis_name=ax, name="cdu11")(sb2, train,
                                                               s2d=True)
                 sb2 = ConvOut(self.labels, 3, name="cdu11_out")(sb2, s2d=True)
@@ -357,7 +359,8 @@ class MiniDSNetExt(nn.Module):
                 s2 = jnp.concatenate([s2, a0], axis=-1)
                 sb2 = nn.relu(ConvBN(32, 1, batchnorm=False, axis_name=ax,
                                      name="conv1d_5")(s2, train))
-                sb2 = Conv2DownUp(32, 3, last_layer=False, dropout=dropout,
+                sb2 = Conv2DownUp(cdu11_ch, 3, last_layer=False,
+                                  dropout=dropout,
                                   axis_name=ax, name="cdu11")(sb2, train)
                 sb2 = ConvOut(self.labels, 3, name="cdu11_out")(sb2)
             seg_branch2 = resize_nearest(sb2, full_hw)
@@ -378,7 +381,9 @@ class MiniDSNetExt(nn.Module):
                 s2 = jnp.concatenate([s2, fskip], axis=-1)
             sb2 = nn.relu(ConvBN(32, 1, batchnorm=False, axis_name=ax,
                                  name="conv1d_5")(s2, train, s2d=chain_s2d))
-            sb2 = Conv2DownUp(32, 3, last_layer=False,
+            # piramid_res widens the final Conv2DownUp to 64 ch before its
+            # plain convSegOut head (dsnet_t2.py:2304-2305)
+            sb2 = Conv2DownUp(cdu11_ch, 3, last_layer=False,
                               dropout=dropout if not m.conv_deconv_out else 0.0,
                               axis_name=ax, name="cdu11")(sb2, train,
                                                           s2d=chain_s2d)

@@ -20,14 +20,58 @@ from ..core.config import ModelConfig
 from ..core.registry import MODELS
 from ..ops.correlation import correlation
 from ..ops.resize import resize_bilinear, resize_nearest, upsample_nearest
-from .aspp import ASPP
-from .blocks import Conv2DownUp, ConvBN, ConvOut
+from .blocks import Conv2DownUp, ConvBN, ConvOut, bn_train_mode
 from .resnet_deeplab import ResNetDeeplabFeatures
 from .sdnet import SegNetHead
 
 
+class HANetASPP(nn.Module):
+    """_AtrousSpatialPyramidPoolingModule (models_hanet/resnet_pytorch.py:
+    7-68) at output_stride 8: rates doubled to (12,24,36), concat order =
+    (img_pool, 1x1, r12, r24, r36) — IMAGE POOLING FIRST — and NO final
+    projection (bot_aspp projects outside). Img features upsample with
+    bilinear align_corners=True (mynn.Upsample)."""
+
+    axis_name: Optional[str] = None
+    features: int = 256
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ..ops.resize import resize_bilinear_align_corners
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not bn_train_mode(self, train),
+                momentum=0.9, epsilon=1e-5, axis_name=self.axis_name,
+                dtype=None, name=name,
+            )
+
+        def branch(inp, k, d, name):
+            pad = [(0, 0), (0, 0)] if k == 1 else [(d, d), (d, d)]
+            y = nn.Conv(self.features, (k, k), kernel_dilation=(d, d),
+                        padding=pad, use_bias=False,
+                        kernel_init=nn.initializers.kaiming_normal(),
+                        name=f"{name}_conv")(inp)
+            return nn.relu(bn(f"{name}_bn")(y))
+
+        img = jnp.mean(x, axis=(1, 2), keepdims=True)
+        img = nn.Conv(256, (1, 1), use_bias=False,
+                      kernel_init=nn.initializers.kaiming_normal(),
+                      name="img_conv")(img)
+        img = nn.relu(bn("img_bn")(img))
+        img = resize_bilinear_align_corners(img, (x.shape[1], x.shape[2]))
+        outs = [img, branch(x, 1, 1, "feat0")]
+        for i, r in enumerate((12, 24, 36)):
+            outs.append(branch(x, 3, r, f"feat{i + 1}"))
+        return jnp.concatenate(outs, axis=-1)
+
+
 class DeeplabV3PlusFeatures(nn.Module):
-    """deeplabV3plus(return_layers=True) equivalent."""
+    """deeplabV3plus(return_layers=True) equivalent
+    (models_hanet/resnet_pytorch.py:70-232, trunk resnet-101 variant 'D'):
+    ResNet3X3 stem, os=8, HANet ASPP, 1x1 bot_aspp/bot_fine projections.
+    final1_1/final1_2/final2 exist in the torch net but return_layers=True
+    never runs them."""
 
     axis_name: Optional[str] = None
 
@@ -38,9 +82,7 @@ class DeeplabV3PlusFeatures(nn.Module):
             stem="3x3x3", multigrid=False, name="trunk",
         )(x, train)
         _, low, middle, high, final = taps  # /2,/4,/8,/8,/8 (os=8)
-        a = ASPP(output_stride=8, axis_name=self.axis_name, name="aspp")(
-            final, train
-        )
+        a = HANetASPP(axis_name=self.axis_name, name="aspp")(final, train)
         dec0_up = nn.relu(
             ConvBN(256, 1, axis_name=self.axis_name, name="bot_aspp")(a, train)
         )

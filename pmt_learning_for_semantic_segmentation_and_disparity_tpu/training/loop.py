@@ -47,14 +47,23 @@ def _import_torch_checkpoint(cfg: PMTConfig, path: str):
     sd = {k[len("module."):] if k.startswith("module.") else k: v
           for k, v in sd.items()}
     net = cfg.model.net
-    if net in ("sdnet_mini_ext",):
+    if net in ("sdnet_mini_ext", "sdnet_mini_ext_v2",
+               "sdnet_mini_ext_piramid", "sdnet_mini_ext_piramid_res"):
+        variant = {"sdnet_mini_ext": "ext", "sdnet_mini_ext_v2": "v2",
+                   "sdnet_mini_ext_piramid": "piramid",
+                   "sdnet_mini_ext_piramid_res": "piramid_res"}[net]
         params, stats = import_minidsnet_ext(
             sd, labels=cfg.data.n_labels, use_att=cfg.model.use_att,
             conv_deconv_out=cfg.model.conv_deconv_out,
-            ablation=cfg.model.ablation,
+            ablation=cfg.model.ablation, aspp_mod=cfg.model.aspp,
+            hanet=bool(cfg.model.hanet), variant=variant,
         )
     elif net == "sdnetv2":
         params, stats = import_dsnetv2(sd, labels=cfg.data.n_labels)
+    elif net == "sdnet":
+        from ..utils.torch_import import import_dsnet
+
+        params, stats = import_dsnet(sd, labels=cfg.data.n_labels)
     elif net == "sdnet_mini":
         from ..utils.torch_import import import_minidsnet
 
@@ -75,6 +84,13 @@ def _import_torch_checkpoint(cfg: PMTConfig, path: str):
                    "sdnet_mini_ext_small_edge": "edge",
                    "sdnet_mini_ext_small_edgev2": "v2"}[net]
         params, stats = import_ext_small(sd, variant=variant)
+    elif net == "sdnet_mini_ext_dlab":
+        from ..utils.torch_import_families import import_ext_dlab
+
+        params, stats = import_ext_dlab(
+            sd, labels=cfg.data.n_labels,
+            conv_deconv_out=cfg.model.conv_deconv_out,
+            ablation=cfg.model.ablation, hanet=bool(cfg.model.hanet))
     elif net in ("dsnet_warp", "dsnet_warp_soft", "dsnet_warp_disp",
                  "dsnet_warp_disp_consist"):
         variant = {"dsnet_warp": "divide", "dsnet_warp_soft": "soft",
@@ -83,9 +99,7 @@ def _import_torch_checkpoint(cfg: PMTConfig, path: str):
         params, stats = import_minidsnet_divide(sd, variant=variant)
     else:
         raise NotImplementedError(
-            f"torch-checkpoint import not wired for -net {net} "
-            "(available: sdnet_mini_ext, sdnetv2, deeplab, deeplab_mod, "
-            "pspnet, the ext_small family, the dsnet_warp family)")
+            f"torch-checkpoint import not wired for -net {net}")
     import jax.numpy as jnp
 
     as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)

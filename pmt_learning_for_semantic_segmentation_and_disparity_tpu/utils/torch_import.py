@@ -294,11 +294,18 @@ def import_hanet_conv(sd, prefix="hanet_last", layer=3):
 
 def import_minidsnet_ext(state_dict, labels=2, use_att=True,
                          conv_deconv_out=0, ablation=(), aspp_mod=0,
-                         hanet=False):
+                         hanet=False, variant="ext"):
     """Convert a torch minidsnetExt state dict (densenet backbone; aspp
     modes 0/1/2 via ``aspp_mod``; optional HANet head via ``hanet`` —
     flagship train-script config is aspp 0, scripts/trainTorchImpl.sh:30-44)
-    into MiniDSNetExt {params, batch_stats} trees.
+    into MiniDSNetExt {params, batch_stats} trees. ``variant``:
+    * 'v2' = minidsnetExt2 (dsnet_t2.py:1632-1890): identical module set
+      except the single self-gate conv1d_at replaces conv1d_at_d/at_s.
+    * 'piramid' = minidsnetExtPiramid (:1303-1629): identical module set
+      to the flagship (only the final skip tensor differs in forward).
+    * 'piramid_res' = minidsnetExtPiramidRes (:2180-2423): dispoutConv and
+      the head-2 output (convSegOut) are PLAIN conv2dSame (no transpose),
+      and Conv2DownUp11 is unwrapped (no Sequential index).
 
     The four independent 3->1 image convs conv2d_ba{0..3} merge into our
     single 3->4 ConvBN; channel order follows the reference's forward
@@ -340,12 +347,21 @@ def import_minidsnet_ext(state_dict, labels=2, use_att=True,
     params["cdu4"], stats["cdu4"] = _cdu(sd, "Conv2DownUp4")
     params["conv1d_2"] = _conv_plain(sd, "conv1d_2", 64)
     params["cdu5"], stats["cdu5"] = _cdu(sd, "Conv2DownUp5", last=False)
-    params["dispoutConv"] = _deconv_out(sd, "dispoutConv")
+    if variant == "piramid_res":
+        # plain conv2dSame head (dsnet_t2.py:2293) — no kernel flip
+        params["dispoutConv"] = {"conv": {"kernel": conv_kernel(
+            _get(sd, "dispoutConv.c2d.weight"))}}
+    else:
+        params["dispoutConv"] = _deconv_out(sd, "dispoutConv")
     # conv1d_3 is constructed but never used by minidsnetExt.forward — skip.
     params["conv1d_4"] = _conv_plain(sd, "conv1d_4", 128)
     params["cdu6"], stats["cdu6"] = _cdu(sd, "Conv2DownUp6")
     if "no_dec3" not in ablation:
-        if use_att:
+        if variant == "v2":
+            params["cdu7"], stats["cdu7"] = _cdu(sd, "Conv2DownUp7")
+            params["cdu9"], stats["cdu9"] = _cdu(sd, "Conv2DownUp9")
+            params["conv1d_at"] = _conv_plain(sd, "conv1d_at", 1)
+        elif use_att:
             params["cdu7"], stats["cdu7"] = _cdu(sd, "Conv2DownUp7")
             params["cdu9"], stats["cdu9"] = _cdu(sd, "Conv2DownUp9")
             params["conv1d_at_d"] = _conv_plain(sd, "conv1d_at_d", 1)
@@ -364,6 +380,11 @@ def import_minidsnet_ext(state_dict, labels=2, use_att=True,
         params["convOutput2"] = {"kernel": w}
         if conv_deconv_out == 2:
             params["convOutput"] = _deconv_out(sd, "convOutput")
+    elif variant == "piramid_res":
+        params["cdu11"], stats["cdu11"] = _cdu(sd, "Conv2DownUp11",
+                                               last=False)
+        params["cdu11_out"] = {"conv": {"kernel": conv_kernel(
+            _get(sd, "convSegOut.c2d.weight"))}}
     else:
         params["cdu11"], stats["cdu11"] = _cdu(sd, "Conv2DownUp11.0",
                                                last=False)
@@ -458,6 +479,49 @@ def _deconvbn_stride2(sd, prefix):
     k = np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1))
     p, s = bn_entries(sd, f"{prefix}.0.layers.1")
     return {"deconv": {"kernel": k}, "bn": p}, {"bn": s}
+
+
+def import_dsnet(state_dict, labels=2):
+    """dsnet 'sdnet' (dsnet_t2.py:119-321) -> DSNet {params, batch_stats}:
+    dsnetv2's cascade with the head-1 decoder inlined at top level (no
+    segNet helper) and no conv2d_ba0. conv1d_7 unused by forward — skip."""
+    sd = state_dict
+    params, stats = {}, {}
+    params["features"], stats["features"] = import_piramidnet2(
+        sd, branches=((0, 5), (1, 3)))
+    for i in (1, 2, 3):
+        p, s = _convbn(sd, f"conv2d_ba{i}.0")
+        params[f"conv2d_ba{i}"], stats[f"conv2d_ba{i}"] = p, s
+
+    params["conv1d_1"] = _conv_plain(sd, "conv1d_1", 64)
+    params["cdu1"], stats["cdu1"] = _cdu(sd, "Conv2DownUp1")
+    params["cdu2"], stats["cdu2"] = _cdu(sd, "Conv2DownUp2.0", last=False)
+    params["cdu2_out"] = _deconv_out(sd, "Conv2DownUp2.1")
+
+    params["corrConv2d"] = _conv_plain(sd, "corrConv2d", 128)
+    params["cdu3"], stats["cdu3"] = _cdu(sd, "Conv2DownUp3")
+    params["cdu4"], stats["cdu4"] = _cdu(sd, "Conv2DownUp4")
+    params["conv1d_2"] = _conv_plain(sd, "conv1d_2", 64)
+    params["cdu5"], stats["cdu5"] = _cdu(sd, "Conv2DownUp5", last=False)
+    params["dispoutConv"] = _deconv_out(sd, "dispoutConv")
+    params["conv1d_3"] = _conv_plain(sd, "conv1d_3", 64)
+    params["cdu6"], stats["cdu6"] = _cdu(sd, "Conv2DownUp6")
+    params["conv1d_4"] = _conv_plain(sd, "conv1d_4", 64)
+    params["deconv_ba1"], stats["deconv_ba1"] = _deconvbn_stride2(
+        sd, "conv2DT_BA1")
+    params["conv1d_5"] = _conv_plain(sd, "conv1d_5", 32)
+    params["deconv_ba2"], stats["deconv_ba2"] = _deconvbn_stride2(
+        sd, "conv2DT_BA2")
+    params["conv1d_6"] = _conv_plain(sd, "conv1d_6", 32)
+    params["cdu7"], stats["cdu7"] = _cdu(sd, "Conv2DownUp7", last=False)
+    params["branchConv"] = _deconv_out(sd, "branchConv")
+    params["conv1d_9"] = _conv_plain(sd, "conv1d_9", 128)
+    params["cdu8"], stats["cdu8"] = _cdu(sd, "Conv2DownUp8")
+    params["cdu9"], stats["cdu9"] = _cdu(sd, "Conv2DownUp9")
+    params["conv1d_8"] = _conv_plain(sd, "conv1d_8", 64)
+    params["cdu10"], stats["cdu10"] = _cdu(sd, "Conv2DownUp10.0", last=False)
+    params["cdu10_out"] = _deconv_out(sd, "Conv2DownUp10.1")
+    return params, stats
 
 
 def import_dsnetv2(state_dict, labels=2):

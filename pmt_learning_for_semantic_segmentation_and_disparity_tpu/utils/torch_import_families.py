@@ -466,3 +466,124 @@ def import_minidsnet_divide(state_dict, variant="divide") -> Tuple[Tree, Tree]:
         p["cdu7"], s["cdu7"] = _cdu(sd, "Conv2DownUp7")
         p["conv1d_at_d"] = _conv_plain(sd, "conv1d_at_d", 1)
     return p, s
+
+
+# ---------------------------------------------------------------------------
+# minidsnetExt_deeplab 'sdnet_mini_ext_dlab' (dsnet_t2.py:2426-2729)
+# ---------------------------------------------------------------------------
+
+
+def _plain_conv_bn_seq(sd, prefix) -> Tuple[Tree, Tree]:
+    """nn.Sequential(Conv2d bias-free, Norm2d, ReLU) -> ConvBN."""
+    w = conv_kernel(_get(sd, f"{prefix}.0.weight"))
+    p, s = bn_entries(sd, f"{prefix}.1")
+    return {"conv": {"kernel": w}, "bn": p}, {"bn": s}
+
+
+def _bottleneck(sd, prefix, downsample: bool) -> Tuple[Tree, Tree]:
+    p: Tree = {}
+    s: Tree = {}
+    for conv, bnn in (("conv1", "bn1"), ("conv2", "bn2"), ("conv3", "bn3")):
+        p[conv] = {"kernel": conv_kernel(_get(sd, f"{prefix}.{conv}.weight"))}
+        bp, bs = bn_entries(sd, f"{prefix}.{bnn}")
+        p[bnn], s[bnn] = bp, bs
+    if downsample:
+        p["down_conv"] = {"kernel": conv_kernel(
+            _get(sd, f"{prefix}.downsample.0.weight"))}
+        bp, bs = bn_entries(sd, f"{prefix}.downsample.1")
+        p["down_bn"], s["down_bn"] = bp, bs
+    return p, s
+
+
+def import_deeplabv3plus_hanet(sd, prefix="resnet_features",
+                               layers=(3, 4, 23, 3)) -> Tuple[Tree, Tree]:
+    """deeplabV3plus(return_layers=True) (models_hanet/resnet_pytorch.py:
+    70-232, trunk resnet-101, variant 'D') -> DeeplabV3PlusFeatures.
+
+    layer0 Sequential indices: 0/1=conv1/bn1, 3/4=conv2/bn2, 6/7=conv3/bn3
+    (ResNet3X3 stem, Resnet.py:137-163). final1_1/final1_2/final2 are
+    constructed but unused when return_layers=True — skipped."""
+    p: Tree = {}
+    s: Tree = {}
+    trunk_p: Tree = {}
+    trunk_s: Tree = {}
+    for ours, idx in (("conv1", 0), ("conv2", 3), ("conv3", 6)):
+        trunk_p[ours] = {"kernel": conv_kernel(
+            _get(sd, f"{prefix}.layer0.{idx}.weight"))}
+    for ours, idx in (("bn1", 1), ("bn2", 4), ("bn3", 7)):
+        bp, bs = bn_entries(sd, f"{prefix}.layer0.{idx}")
+        trunk_p[ours], trunk_s[ours] = bp, bs
+    for li, nblocks in enumerate(layers):
+        for bi in range(nblocks):
+            bp, bs = _bottleneck(sd, f"{prefix}.layer{li + 1}.{bi}",
+                                 downsample=(bi == 0))
+            trunk_p[f"layer{li + 1}_block{bi}"] = bp
+            trunk_s[f"layer{li + 1}_block{bi}"] = bs
+    p["trunk"], s["trunk"] = trunk_p, trunk_s
+
+    aspp_p: Tree = {}
+    aspp_s: Tree = {}
+    for i in range(4):
+        cp, cs = _plain_conv_bn_seq(sd, f"{prefix}.aspp.features.{i}")
+        aspp_p[f"feat{i}_conv"] = cp["conv"]
+        aspp_p[f"feat{i}_bn"], aspp_s[f"feat{i}_bn"] = cp["bn"], cs["bn"]
+    cp, cs = _plain_conv_bn_seq(sd, f"{prefix}.aspp.img_conv")
+    aspp_p["img_conv"] = cp["conv"]
+    aspp_p["img_bn"], aspp_s["img_bn"] = cp["bn"], cs["bn"]
+    p["aspp"], s["aspp"] = aspp_p, aspp_s
+
+    p["bot_aspp"], s["bot_aspp"] = _plain_conv_bn_seq(sd, f"{prefix}.bot_aspp")
+    p["bot_fine"], s["bot_fine"] = _plain_conv_bn_seq(sd, f"{prefix}.bot_fine")
+    return p, s
+
+
+def import_ext_dlab(state_dict, labels=2, conv_deconv_out=0, ablation=(),
+                    hanet=False) -> Tuple[Tree, Tree]:
+    """minidsnetExt_deeplab 'sdnet_mini_ext_dlab' (dsnet_t2.py:2426-2729,
+    aspp 0) -> MiniDSNetExtDeeplab {params, batch_stats}. conv1d_3 and the
+    backbone's final1_*/final2 are unused by forward — skipped."""
+    from .torch_import import import_hanet_conv
+
+    sd = state_dict
+    p: Tree = {}
+    s: Tree = {}
+    p["features"], s["features"] = import_deeplabv3plus_hanet(sd)
+
+    seg_p: Tree = {}
+    seg_s: Tree = {}
+    seg_p["conv1d_1"] = _conv_plain(sd, "segNet.conv1d_1", 64)
+    seg_p["cdu1"], seg_s["cdu1"] = _cdu(sd, "segNet.Conv2DownUp1")
+    seg_p["conv1d_2"] = _conv_plain(sd, "segNet.conv1d_2", 32)
+    seg_p["cdu2"], seg_s["cdu2"] = _cdu(sd, "segNet.Conv2DownUp2.0",
+                                        last=False)
+    seg_p["out"] = _deconv_out(sd, "segNet.Conv2DownUp2.1")
+    p["segNet"], s["segNet"] = seg_p, seg_s
+
+    p["corrConv2d"] = _conv_plain(sd, "corrConv2d", 128)
+    p["cdu3"], s["cdu3"] = _cdu(sd, "Conv2DownUp3")
+    p["cdu4"], s["cdu4"] = _cdu(sd, "Conv2DownUp4")
+    p["conv1d_2"] = _conv_plain(sd, "conv1d_2", 64)
+    p["cdu5"], s["cdu5"] = _cdu(sd, "Conv2DownUp5", last=False)
+    p["dispoutConv"] = _deconv_out(sd, "dispoutConv")
+    p["conv1d_4"] = _conv_plain(sd, "conv1d_4", 128)
+    p["cdu6"], s["cdu6"] = _cdu(sd, "Conv2DownUp6")
+    if "no_dec3" not in ablation:
+        p["cdu7"], s["cdu7"] = _cdu(sd, "Conv2DownUp7")
+        p["cdu8"], s["cdu8"] = _cdu(sd, "Conv2DownUp8")
+        p["cdu9"], s["cdu9"] = _cdu(sd, "Conv2DownUp9")
+        p["conv1d_at_d"] = _conv_plain(sd, "conv1d_at_d", 1)
+        p["conv1d_at_s"] = _conv_plain(sd, "conv1d_at_s", 1)
+    p["cdu10"], s["cdu10"] = _cdu(sd, "Conv2DownUp10")
+    p["conv1d_5"] = _conv_plain(sd, "conv1d_5", 32)
+    if conv_deconv_out:
+        p["cdu11"], s["cdu11"] = _cdu(sd, "Conv2DownUp11.0", last=False)
+        p["convOutput2"] = {"kernel": conv_kernel(
+            _get(sd, "convOutput2.c2d.weight"))}
+        if conv_deconv_out == 2:
+            p["convOutput"] = _deconv_out(sd, "convOutput")
+    else:
+        p["cdu11"], s["cdu11"] = _cdu(sd, "Conv2DownUp11.0", last=False)
+        p["cdu11_out"] = _deconv_out(sd, "Conv2DownUp11.1")
+    if hanet:
+        p["hanet_last"], s["hanet_last"] = import_hanet_conv(sd)
+    return p, s

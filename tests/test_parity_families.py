@@ -579,6 +579,144 @@ def test_minidsnet_weight_transport(ref):
     ])
 
 
+def test_minidsnet_ext2_weight_transport(ref):
+    """'sdnet_mini_ext_v2' = minidsnetExt2 (dsnet_t2.py:1632-1890):
+    flagship trunk with a SINGLE self-gate (sigmoid conv1d_at on s2,
+    :1861-1866) blending the disp-guided and seg-guided branches, and the
+    head-2 output left at the full-res xleft1 skip resolution (no final
+    interpolate, :1884-1885)."""
+    from types import SimpleNamespace
+
+    ref_mod = load_reference_models()
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import import (
+        import_minidsnet_ext,
+    )
+
+    torch.manual_seed(89)
+    net = ref_mod.minidsnetExt2(SimpleNamespace(aspp=0), labels=2,
+                                pretrained=False, patch_type="1dcorr",
+                                include_edges=False, backbone="densenet")
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_minidsnet_ext(sd, variant="v2")
+
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext_v2"
+    cfg.model.backbone = "densenet"
+    cfg.model.corr_type = "1dcorr"
+    model = models.get_network(cfg)
+
+    rng = np.random.default_rng(97)
+    H, W = 256, 256
+    left = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    right = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), jnp.asarray(right), train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    with torch.no_grad():
+        t_seg, t_disp, t_seg2, _ = net(
+            torch.from_numpy(left).permute(0, 3, 1, 2),
+            torch.from_numpy(right).permute(0, 3, 1, 2))
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(left), jnp.asarray(right), train=False,
+                      rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([
+        ("seg1", out["seg1"], t2j(t_seg)),
+        ("disp1", out["disp1"], t2j(t_disp)),
+        ("seg2", out["seg2"], t2j(t_seg2)),
+    ])
+
+
+def _ext_variant_transport(ref_cls_name, net_key, variant, seed,
+                           fp64=False):
+    """fp64=True: the piramid_res residual chains amplify random-init
+    activations to ~2e5, so fp32 rounding alone reaches ~3e-4 relative on
+    the heads; fp64 on both sides pins the wiring at 1e-8 instead."""
+    from types import SimpleNamespace
+
+    ref_mod = load_reference_models()
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import import (
+        import_minidsnet_ext,
+    )
+
+    torch.manual_seed(seed)
+    net = getattr(ref_mod, ref_cls_name)(
+        SimpleNamespace(aspp=0), labels=2, pretrained=False,
+        patch_type="1dcorr", include_edges=False, backbone="densenet")
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_minidsnet_ext(sd, variant=variant)
+
+    cfg = PMTConfig()
+    cfg.model.net = net_key
+    cfg.model.backbone = "densenet"
+    cfg.model.corr_type = "1dcorr"
+    model = models.get_network(cfg)
+
+    rng = np.random.default_rng(seed + 2)
+    H, W = 256, 256
+    left = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    right = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), jnp.asarray(right), train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    if not fp64:
+        with torch.no_grad():
+            t_seg, t_disp, t_seg2, _ = net(
+                torch.from_numpy(left).permute(0, 3, 1, 2),
+                torch.from_numpy(right).permute(0, 3, 1, 2))
+        out = model.apply({"params": params, "batch_stats": stats},
+                          jnp.asarray(left), jnp.asarray(right), train=False,
+                          rngs={"dropout": jax.random.PRNGKey(0)})
+        tol = 1e-4
+    else:
+        net.double()
+        with torch.no_grad():
+            t_seg, t_disp, t_seg2, _ = net(
+                torch.from_numpy(left).permute(0, 3, 1, 2).double(),
+                torch.from_numpy(right).permute(0, 3, 1, 2).double())
+        with jax.enable_x64(True):
+            p64 = jax.tree_util.tree_map(
+                lambda a: np.asarray(a, np.float64), params)
+            s64 = jax.tree_util.tree_map(
+                lambda a: np.asarray(a, np.float64), stats)
+            out = model.apply({"params": p64, "batch_stats": s64},
+                              jnp.asarray(left, jnp.float64),
+                              jnp.asarray(right, jnp.float64), train=False,
+                              rngs={"dropout": jax.random.PRNGKey(0)})
+        tol = 1e-8
+    assert_heads_close([
+        ("seg1", out["seg1"], t2j(t_seg)),
+        ("disp1", out["disp1"], t2j(t_disp)),
+        ("seg2", out["seg2"], t2j(t_seg2)),
+    ], tol=tol)
+
+
+def test_ext_piramid_weight_transport(ref):
+    """'sdnet_mini_ext_piramid' = minidsnetExtPiramid (dsnet_t2.py:
+    1303-1629): flagship module set, but head 2's final skip is the
+    pyramid-enriched /2 map a_pyramidB_0 and the output resizes to full
+    res with nearest (:1557-1562)."""
+    _ext_variant_transport("minidsnetExtPiramid", "sdnet_mini_ext_piramid",
+                           "piramid", 101)
+
+
+def test_ext_piramid_res_weight_transport(ref):
+    """'sdnet_mini_ext_piramid_res' = minidsnetExtPiramidRes (:2180-2423):
+    residual corr fusion (y = a_pyramidB_2 + corrConv(y) + cdu3(x1)),
+    additive gate fusion (s2 += x3*at_s + y3*at_d), 64-ch Conv2DownUp11
+    and PLAIN conv2dSame disp/seg output heads."""
+    _ext_variant_transport("minidsnetExtPiramidRes",
+                           "sdnet_mini_ext_piramid_res", "piramid_res", 103,
+                           fp64=True)
+
+
 def test_seg_dsnet_weight_transport(ref):
     """'sdnet_seg' = seg_dsnet (dsnet_t2.py:2087-2177): minidsnet trunk
     with a SHARED per-view segNet on the deepest tap (shared conv2d_ba0
@@ -689,3 +827,116 @@ def test_warp_disp_consist_weight_transport(ref):
         ("seg_right", out["seg3"], t_right),
         ("warped_right_img", out["warped_right"], t_warped),
     ], tol=1e-8)
+
+
+def test_dsnet_weight_transport(ref):
+    """'sdnet' = dsnet (dsnet_t2.py:119-321): the original two-head
+    cascade — 17x17 normalized 2-D correlation, log-softmax'd coarse seg,
+    refinement trunk with stride-2 deconvbn ups, residual head mixing
+    (seg2 = 0.9*s2 + 0.1*seg1, disp2 = 0.8*d2 + 0.2*d1)."""
+    from types import SimpleNamespace
+
+    ref_mod = load_reference_models()
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import import (
+        import_dsnet,
+    )
+
+    torch.manual_seed(107)
+    net = ref_mod.dsnet(SimpleNamespace(), labels=2, pretrained=False)
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_dsnet(sd)
+
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet"
+    model = models.get_network(cfg)
+
+    rng = np.random.default_rng(109)
+    H, W = 256, 256
+    left = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    right = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), jnp.asarray(right), train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    with torch.no_grad():
+        t_s1, t_d1, t_s2, t_d2 = net(
+            torch.from_numpy(left).permute(0, 3, 1, 2),
+            torch.from_numpy(right).permute(0, 3, 1, 2))
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(left), jnp.asarray(right), train=False,
+                      rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([
+        ("seg1", out["seg1"], t2j(t_s1)),
+        ("disp1", out["disp1"], t2j(t_d1)),
+        ("seg2", out["seg2"], t2j(t_s2)),
+        ("disp2", out["disp2"], t2j(t_d2)),
+    ])
+
+
+def test_ext_dlab_weight_transport(ref):
+    """'sdnet_mini_ext_dlab' = minidsnetExt_deeplab (dsnet_t2.py:2426-2729):
+    the Ext decoder skeleton on HANet's deeplabV3plus ResNet-101 trunk
+    (ResNet3X3 stem, variant-'D' os=8 dilation, img-pool-first ASPP,
+    bot_aspp/bot_fine 1x1 projections — models_hanet/resnet_pytorch.py:
+    7-232). The backbone taps (dec0_up, high, middle, dec0_fine) feed the
+    flagship-style segNet/corr/attention decoders."""
+    from types import SimpleNamespace
+
+    ref_mod = load_reference_models()
+    import models_hanet.Resnet as hanet_resnet
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import_families import (
+        import_ext_dlab,
+    )
+
+    # resnet101() defaults pretrained=True -> torch-hub download; this
+    # environment has no egress, so force random init (weight transport
+    # proves wiring regardless of the init distribution)
+    orig = hanet_resnet.resnet101
+    hanet_resnet.resnet101 = lambda pretrained=True, **kw: orig(
+        pretrained=False, **kw)
+    try:
+        torch.manual_seed(113)
+        # backbone must be a name from the channel table even though the
+        # trunk is always deeplabV3plus — 'deeplab' itself leaves
+        # inplane_seg2 unbound and CRASHES (dsnet_t2.py:2541); the train
+        # scripts pass densenet (inplane_seg2=512 == middle_level width)
+        net = ref_mod.minidsnetExt_deeplab(
+            SimpleNamespace(aspp=0, hanet=0, convDeconvOut=0, abilation=[]),
+            labels=2, pretrained=False, patch_type="1dcorr",
+            include_edges=False, backbone="densenet")
+    finally:
+        hanet_resnet.resnet101 = orig
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_ext_dlab(sd)
+
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext_dlab"
+    cfg.model.corr_type = "1dcorr"
+    model = models.get_network(cfg)
+
+    rng = np.random.default_rng(127)
+    H, W = 128, 128  # /8 trunk: keep the CPU ResNet-101 pass small
+    left = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    right = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), jnp.asarray(right), train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    with torch.no_grad():
+        t_seg, t_disp, t_seg2, _ = net(
+            torch.from_numpy(left).permute(0, 3, 1, 2),
+            torch.from_numpy(right).permute(0, 3, 1, 2))
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(left), jnp.asarray(right), train=False,
+                      rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([
+        ("seg1", out["seg1"], t2j(t_seg)),
+        ("disp1", out["disp1"], t2j(t_disp)),
+        ("seg2", out["seg2"], t2j(t_seg2)),
+    ])
