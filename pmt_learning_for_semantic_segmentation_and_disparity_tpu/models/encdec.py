@@ -160,9 +160,9 @@ class DecoderUnetSEIBN(nn.Module):
         y = nn.Conv(q, (1, 1), name="reduce")(x)
         # IBN-a: instance-norm half, batch-norm half (ibn.py:6-21)
         half = q // 2
-        a = nn.LayerNorm(use_scale=True, use_bias=True,
+        a = nn.LayerNorm(use_scale=True, use_bias=True, epsilon=1e-5,
                          reduction_axes=(1, 2), feature_axes=-1,
-                         name="inorm")(y[..., :half])
+                         name="inorm")(y[..., :half])  # InstanceNorm2d eps
         a = nn.relu(a)
         bpart = nn.BatchNorm(use_running_average=not bn_train_mode(self, train), momentum=0.9,
                              epsilon=1e-5, axis_name=self.axis_name,

@@ -587,3 +587,176 @@ def import_ext_dlab(state_dict, labels=2, conv_deconv_out=0, ablation=(),
     if hanet:
         p["hanet_last"], s["hanet_last"] = import_hanet_conv(sd)
     return p, s
+
+
+# ---------------------------------------------------------------------------
+# EncoderDecoderNet (models_deeplab/net.py:12-79) — UNet-hypercolumn segmentor
+# ---------------------------------------------------------------------------
+
+
+def _deconv2d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (I,O,kh,kw) -> flax ConvTranspose (kh,kw,I,O)
+    with spatial flip (flax conv_transpose correlates, torch convolves)."""
+    return np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1))
+
+
+def _abn_entries(sd, prefix):
+    """_ActivatedBatchNorm (models_deeplab/common.py:5-23): .bn BatchNorm."""
+    return bn_entries(sd, f"{prefix}.bn")
+
+
+def _scse_block(sd, prefix) -> Tree:
+    """SCSEBlock (scse.py:23-43): channel_excitation Linears (with bias) +
+    bias-free 1x1 spatial conv."""
+    return {
+        "fc1": {"kernel": _dense_kernel(
+            _get(sd, f"{prefix}.channel_excitation.0.weight")),
+            "bias": _get(sd, f"{prefix}.channel_excitation.0.bias")},
+        "fc2": {"kernel": _dense_kernel(
+            _get(sd, f"{prefix}.channel_excitation.2.weight")),
+            "bias": _get(sd, f"{prefix}.channel_excitation.2.bias")},
+        "spatial": {"kernel": conv_kernel(
+            _get(sd, f"{prefix}.spatial_se.weight"))},
+    }
+
+
+def _decoder_scse(sd, prefix) -> Tuple[Tree, Tree]:
+    """DecoderUnetSCSE (decoder.py:10-22): Sequential(conv3x3+bias, ABN,
+    SCSE, ConvTranspose4x4 s2 p1 + bias)."""
+    p: Tree = {
+        "conv": {"kernel": conv_kernel(_get(sd, f"{prefix}.block.0.weight")),
+                 "bias": _get(sd, f"{prefix}.block.0.bias")},
+        "scse": _scse_block(sd, f"{prefix}.block.2"),
+        "up": {"kernel": _deconv2d_kernel(
+            _get(sd, f"{prefix}.block.3.weight")),
+            "bias": _get(sd, f"{prefix}.block.3.bias")},
+    }
+    bp, bs = _abn_entries(sd, f"{prefix}.block.1")
+    p["bn"] = bp
+    return p, {"bn": bs}
+
+
+def import_encdec(state_dict, enc_type="resnet18",
+                  dec_type="unet_scse") -> Tuple[Tree, Tree]:
+    """EncoderDecoderNet (models_deeplab/net.py:12-79) with a torchvision
+    resnet encoder split into 5 stages (encoder.py:8-37) ->
+    models.encdec.EncoderDecoderNet {params, batch_stats}."""
+    dec_fn = {"unet_scse": _decoder_scse, "unet_oc": _decoder_oc,
+              "unet_seibn": _decoder_seibn}[dec_type]
+    sd = state_dict
+    p: Tree = {}
+    s: Tree = {}
+    # encoder1 = Sequential(conv1, bn1, relu, maxpool)
+    p["stem"] = {"kernel": conv_kernel(_get(sd, "encoder1.0.weight"))}
+    bp, bs = bn_entries(sd, "encoder1.1")
+    p["stem_bn"], s["stem_bn"] = bp, bs
+    layers = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3),
+              "resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
+              "resnet152": (3, 8, 36, 3)}[enc_type]
+    bottleneck = enc_type not in ("resnet18", "resnet34")
+    convs = (("c1", "conv1", "b1", "bn1"), ("c2", "conv2", "b2", "bn2")) + (
+        (("c3", "conv3", "b3", "bn3"),) if bottleneck else ())
+    for li, n in enumerate(layers):
+        for bi in range(n):
+            pre = f"encoder{li + 2}.{bi}"
+            bp_: Tree = {}
+            bs_: Tree = {}
+            for ours_c, theirs_c, ours_b, theirs_b in convs:
+                bp_[ours_c] = {"kernel": conv_kernel(
+                    _get(sd, f"{pre}.{theirs_c}.weight"))}
+                q, r = bn_entries(sd, f"{pre}.{theirs_b}")
+                bp_[ours_b], bs_[ours_b] = q, r
+            if f"{pre}.downsample.0.weight" in sd:
+                bp_["down"] = {"kernel": conv_kernel(
+                    _get(sd, f"{pre}.downsample.0.weight"))}
+                q, r = bn_entries(sd, f"{pre}.downsample.1")
+                bp_["down_bn"], bs_["down_bn"] = q, r
+            p[f"l{li + 1}_b{bi}"], s[f"l{li + 1}_b{bi}"] = bp_, bs_
+    for ours, theirs in (("center", "center"), ("dec5", "decoder5"),
+                         ("dec4", "decoder4"), ("dec3", "decoder3"),
+                         ("dec2", "decoder2"), ("dec1", "decoder1")):
+        p[ours], s[ours] = dec_fn(sd, theirs)
+    p["logits1"] = {"kernel": conv_kernel(_get(sd, "logits.0.weight")),
+                    "bias": _get(sd, "logits.0.bias")}
+    bp, bs = _abn_entries(sd, "logits.1")
+    p["logits_bn"], s["logits_bn"] = bp, bs
+    p["logits2"] = {"kernel": conv_kernel(_get(sd, "logits.2.weight")),
+                    "bias": _get(sd, "logits.2.bias")}
+    return p, s
+
+
+def _decoder_oc(sd, prefix) -> Tuple[Tree, Tree]:
+    """DecoderUnetOC (decoder.py:38-52): Sequential(conv3x3, ABN, BaseOC,
+    ConvTranspose). BaseOC.block = (conv3x3, ABN, BaseOC_Context) with the
+    context = one SelfAttentionBlock2D stage + conv_bn_dropout (oc.py)."""
+    p: Tree = {
+        "conv": {"kernel": conv_kernel(_get(sd, f"{prefix}.block.0.weight")),
+                 "bias": _get(sd, f"{prefix}.block.0.bias")},
+        "up": {"kernel": _deconv2d_kernel(
+            _get(sd, f"{prefix}.block.3.weight")),
+            "bias": _get(sd, f"{prefix}.block.3.bias")},
+    }
+    s: Tree = {}
+    bp, bs = _abn_entries(sd, f"{prefix}.block.1")
+    p["bn"], s["bn"] = bp, bs
+    base = f"{prefix}.block.2.block"
+    ocp: Tree = {
+        "conv": {"kernel": conv_kernel(_get(sd, f"{base}.0.weight")),
+                 "bias": _get(sd, f"{base}.0.bias")},
+    }
+    ocs: Tree = {}
+    bp, bs = _abn_entries(sd, f"{base}.1")
+    ocp["bn"], ocs["bn"] = bp, bs
+    attn_pre = f"{base}.2.stages.0"
+    ap: Tree = {
+        "f_key": {"kernel": conv_kernel(
+            _get(sd, f"{attn_pre}.f_key.0.weight")),
+            "bias": _get(sd, f"{attn_pre}.f_key.0.bias")},
+        "f_value": {"kernel": conv_kernel(
+            _get(sd, f"{attn_pre}.f_value.weight")),
+            "bias": _get(sd, f"{attn_pre}.f_value.bias")},
+        "W": {"kernel": conv_kernel(_get(sd, f"{attn_pre}.W.weight")),
+              "bias": _get(sd, f"{attn_pre}.W.bias")},
+    }
+    ass: Tree = {}
+    bp, bs = _abn_entries(sd, f"{attn_pre}.f_key.1")
+    ap["key_bn"], ass["key_bn"] = bp, bs
+    ocp["attn"], ocs["attn"] = ap, ass
+    ocp["proj"] = {"kernel": conv_kernel(
+        _get(sd, f"{base}.2.conv_bn_dropout.0.weight")),
+        "bias": _get(sd, f"{base}.2.conv_bn_dropout.0.bias")}
+    bp, bs = _abn_entries(sd, f"{base}.2.conv_bn_dropout.1")
+    ocp["proj_bn"], ocs["proj_bn"] = bp, bs
+    p["oc"], s["oc"] = ocp, ocs
+    return p, s
+
+
+def _decoder_seibn(sd, prefix) -> Tuple[Tree, Tree]:
+    """DecoderUnetSEIBN (decoder.py:25-35): SELayer (bias-free Linears) +
+    ImprovedIBNaDecoderBlock (ibn.py:24-38: 1x1 reduce, IBN half-IN/half-BN,
+    deconv, ABN, 1x1 proj, ABN)."""
+    p: Tree = {
+        "se": {
+            "fc1": {"kernel": _dense_kernel(
+                _get(sd, f"{prefix}.block.0.fc.0.weight"))},
+            "fc2": {"kernel": _dense_kernel(
+                _get(sd, f"{prefix}.block.0.fc.2.weight"))},
+        },
+    }
+    s: Tree = {}
+    ibn = f"{prefix}.block.1.block"
+    p["reduce"] = {"kernel": conv_kernel(_get(sd, f"{ibn}.0.weight")),
+                   "bias": _get(sd, f"{ibn}.0.bias")}
+    p["inorm"] = {"scale": _get(sd, f"{ibn}.1.IN.0.weight"),
+                  "bias": _get(sd, f"{ibn}.1.IN.0.bias")}
+    bp, bs = _abn_entries(sd, f"{ibn}.1.BN")
+    p["bnorm"], s["bnorm"] = bp, bs
+    p["up"] = {"kernel": _deconv2d_kernel(_get(sd, f"{ibn}.2.weight")),
+               "bias": _get(sd, f"{ibn}.2.bias")}
+    bp, bs = _abn_entries(sd, f"{ibn}.3")
+    p["up_bn"], s["up_bn"] = bp, bs
+    p["proj"] = {"kernel": conv_kernel(_get(sd, f"{ibn}.4.weight")),
+                 "bias": _get(sd, f"{ibn}.4.bias")}
+    bp, bs = _abn_entries(sd, f"{ibn}.5")
+    p["proj_bn"], s["proj_bn"] = bp, bs
+    return p, s

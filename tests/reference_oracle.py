@@ -78,6 +78,7 @@ def load_reference_models():
         sys.modules["torchvision.models"] = tv.models
         sys.modules["torchvision.transforms"] = tv.transforms
         sys.modules["torchvision.transforms.functional"] = tvf
+    _install_tv_resnet_stub()
 
     from models import dsnet_t2  # noqa: E402
 
@@ -92,3 +93,113 @@ def load_reference_models():
     )
 
     return dsnet_t2
+
+
+def _install_tv_resnet_stub():
+    """torchvision is not installed here; models_deeplab/encoder.py needs
+    torchvision.models.resnet{18,34,50,...} plus the BasicBlock/Bottleneck
+    classes it isinstance-checks. This stub reproduces torchvision's resnet
+    module exactly (param names, shapes, forward) with pretrained ignored —
+    the reference ALWAYS requests pretrained weights there because
+    net.py:26 passes `pretrained` positionally into create_encoder's
+    output_stride slot (a reference bug); offline random init is the only
+    option and weight-transport parity is init-agnostic anyway."""
+    import sys
+    import types
+
+    import torch
+    import torch.nn as nn
+
+    tvm = sys.modules.get("torchvision.models")
+    if tvm is None or hasattr(tvm, "resnet"):
+        return
+
+    class BasicBlock(nn.Module):
+        expansion = 1
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.relu = nn.ReLU(inplace=True)
+            self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.downsample = downsample
+
+        def forward(self, x):
+            idt = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            if self.downsample is not None:
+                idt = self.downsample(x)
+            return self.relu(out + idt)
+
+    class Bottleneck(nn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+
+        def forward(self, x):
+            idt = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                idt = self.downsample(x)
+            return self.relu(out + idt)
+
+    class ResNet(nn.Module):
+        def __init__(self, block, layers, num_classes=1000):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            self.layer1 = self._make_layer(block, 64, layers[0])
+            self.layer2 = self._make_layer(block, 128, layers[1], 2)
+            self.layer3 = self._make_layer(block, 256, layers[2], 2)
+            self.layer4 = self._make_layer(block, 512, layers[3], 2)
+            self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+            self.fc = nn.Linear(512 * block.expansion, num_classes)
+
+        def _make_layer(self, block, planes, blocks, stride=1):
+            downsample = None
+            if stride != 1 or self.inplanes != planes * block.expansion:
+                downsample = nn.Sequential(
+                    nn.Conv2d(self.inplanes, planes * block.expansion, 1,
+                              stride, bias=False),
+                    nn.BatchNorm2d(planes * block.expansion),
+                )
+            layers = [block(self.inplanes, planes, stride, downsample)]
+            self.inplanes = planes * block.expansion
+            for _ in range(1, blocks):
+                layers.append(block(self.inplanes, planes))
+            return nn.Sequential(*layers)
+
+    resnet_mod = types.ModuleType("torchvision.models.resnet")
+    resnet_mod.BasicBlock = BasicBlock
+    resnet_mod.Bottleneck = Bottleneck
+    resnet_mod.ResNet = ResNet
+    cfgs = {"resnet18": (BasicBlock, (2, 2, 2, 2)),
+            "resnet34": (BasicBlock, (3, 4, 6, 3)),
+            "resnet50": (Bottleneck, (3, 4, 6, 3)),
+            "resnet101": (Bottleneck, (3, 4, 23, 3)),
+            "resnet152": (Bottleneck, (3, 8, 36, 3))}
+    for name, (blk, lay) in cfgs.items():
+        def factory(pretrained=False, _blk=blk, _lay=lay, **kw):
+            del pretrained  # no weights offline; random init
+            return ResNet(_blk, list(_lay))
+        setattr(resnet_mod, name, factory)
+        setattr(tvm, name, factory)
+    tvm.resnet = resnet_mod
+    sys.modules["torchvision.models.resnet"] = resnet_mod

@@ -1029,3 +1029,88 @@ def test_flagship_aspp2_weight_transport(ref):
 
 def test_flagship_hanet_weight_transport(ref):
     _flagship_transport(aspp=0, hanet=1, seed=139)
+
+
+def test_encdec_scse_weight_transport(ref):
+    """EncoderDecoderNet resnet18/unet_scse (models_deeplab/net.py:12-79):
+    torchvision 5-stage encoder split, SCSE decoders at every scale,
+    hypercolumn concat, 1x1+ABN+1x1 logits. Not reachable from the
+    reference CLI but part of its models_deeplab surface (SURVEY §2.3)."""
+    from models_deeplab.net import EncoderDecoderNet as TorchEncDec
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.models.encdec import (
+        EncoderDecoderNet,
+    )
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import_families import (
+        import_encdec,
+    )
+
+    torch.manual_seed(157)
+    net = TorchEncDec(output_channels=19, enc_type="resnet18",
+                      dec_type="unet_scse", pretrained=False)
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_encdec(sd, enc_type="resnet18")
+
+    model = EncoderDecoderNet(labels=19, enc_type="resnet18",
+                              dec_type="unet_scse")
+    rng = np.random.default_rng(163)
+    x = rng.standard_normal((1, 128, 128, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(x), train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    with torch.no_grad():
+        t_out = net(torch.from_numpy(x).permute(0, 3, 1, 2))
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x), train=False,
+                      rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([("seg1", out["seg1"], t2j(t_out))])
+
+
+def _encdec_transport(enc_type, dec_type, seed):
+    from models_deeplab.net import EncoderDecoderNet as TorchEncDec
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.models.encdec import (
+        EncoderDecoderNet,
+    )
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import_families import (
+        import_encdec,
+    )
+
+    torch.manual_seed(seed)
+    net = TorchEncDec(output_channels=19, enc_type=enc_type,
+                      dec_type=dec_type, pretrained=False)
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_encdec(sd, enc_type=enc_type, dec_type=dec_type)
+
+    model = EncoderDecoderNet(labels=19, enc_type=enc_type,
+                              dec_type=dec_type)
+    rng = np.random.default_rng(seed + 2)
+    x = rng.standard_normal((1, 128, 128, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(x), train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    with torch.no_grad():
+        t_out = net(torch.from_numpy(x).permute(0, 3, 1, 2))
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x), train=False,
+                      rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([("seg1", out["seg1"], t2j(t_out))])
+
+
+def test_encdec_oc_weight_transport(ref):
+    """EncoderDecoderNet resnet34/unet_oc: ObjectContext non-local decoder
+    (oc.py SelfAttentionBlock2D q/k shared, zero-init W) on the BasicBlock
+    resnet34 split."""
+    _encdec_transport("resnet34", "unet_oc", 167)
+
+
+def test_encdec_seibn_weight_transport(ref):
+    """EncoderDecoderNet resnet50/unet_seibn: SE + half-instance-norm IBN-a
+    decoder (ibn.py) on the Bottleneck resnet50 split."""
+    _encdec_transport("resnet50", "unet_seibn", 173)
