@@ -219,20 +219,63 @@ def ref_densenet_to_torchvision_keys(sd):
     return out
 
 
+def import_resnet_deeplab(sd, layers=(3, 4, 6, 3)):
+    """The reference's dilated multi-grid resnet (models/resnet_deeplab.py:
+    45-170, os=16) -> models.resnet_deeplab.ResNetDeeplabFeatures
+    (stem='7x7', multigrid=True). layer4 is the 3-block MG unit."""
+    p, s = {}, {}
+    p["conv1"] = {"kernel": conv_kernel(_get(sd, "conv1.weight"))}
+    bp, bs = bn_entries(sd, "bn1")
+    p["bn1"], s["bn1"] = bp, bs
+
+    def block(pre, has_down):
+        bp_, bs_ = {}, {}
+        for conv, bnn in (("conv1", "bn1"), ("conv2", "bn2"),
+                          ("conv3", "bn3")):
+            bp_[conv] = {"kernel": conv_kernel(_get(sd, f"{pre}.{conv}.weight"))}
+            q, r = bn_entries(sd, f"{pre}.{bnn}")
+            bp_[bnn], bs_[bnn] = q, r
+        if has_down:
+            bp_["down_conv"] = {"kernel": conv_kernel(
+                _get(sd, f"{pre}.downsample.0.weight"))}
+            q, r = bn_entries(sd, f"{pre}.downsample.1")
+            bp_["down_bn"], bs_["down_bn"] = q, r
+        return bp_, bs_
+
+    for li, n in enumerate(layers[:3]):
+        for bi in range(n):
+            has_down = f"layer{li + 1}.{bi}.downsample.0.weight" in sd
+            bp, bs = block(f"layer{li + 1}.{bi}", has_down)
+            p[f"layer{li + 1}_block{bi}"] = bp
+            s[f"layer{li + 1}_block{bi}"] = bs
+    for bi in range(3):  # MG unit
+        has_down = f"layer4.{bi}.downsample.0.weight" in sd
+        bp, bs = block(f"layer4.{bi}", has_down)
+        p[f"layer4_block{bi}"], s[f"layer4_block{bi}"] = bp, bs
+    return p, s
+
+
 def import_piramidnet2(state_dict, prefix="resnet_features",
                        block_config=(6, 12, 24, 16),
-                       branches=((0, 5), (1, 4), (2, 3))):
+                       branches=((0, 5), (1, 4), (2, 3)),
+                       backbone="densenet"):
     """piramidNet2 (dsnet_t2.py:1893-2083) -> models.pyramid.PiramidNet2
-    (densenet backbone + branch{t}_{k} convbn pyramid branches)."""
+    (densenet / dilated-resnet backbone + branch{t}_{k} convbn pyramid
+    branches — the forward is backbone-agnostic, :2016-2083)."""
     params, stats = {}, {}
     bb = {k[len(f"{prefix}.resnet_features."):]: v
           for k, v in state_dict.items()
           if k.startswith(f"{prefix}.resnet_features.")}
-    if "features.conv0.weight" not in bb:
-        bb = ref_densenet_to_torchvision_keys(bb)
-    params["backbone"], stats["backbone"] = import_densenet121(
-        bb, block_config=block_config
-    )
+    if backbone in ("resnet50", "resnet101"):
+        layers = (3, 4, 6, 3) if backbone == "resnet50" else (3, 4, 23, 3)
+        params["backbone"], stats["backbone"] = import_resnet_deeplab(
+            bb, layers=layers)
+    else:
+        if "features.conv0.weight" not in bb:
+            bb = ref_densenet_to_torchvision_keys(bb)
+        params["backbone"], stats["backbone"] = import_densenet121(
+            bb, block_config=block_config
+        )
     for tap, n in branches:
         for k in range(n):
             name = f"branch{tap}_{k}"
@@ -294,7 +337,7 @@ def import_hanet_conv(sd, prefix="hanet_last", layer=3):
 
 def import_minidsnet_ext(state_dict, labels=2, use_att=True,
                          conv_deconv_out=0, ablation=(), aspp_mod=0,
-                         hanet=False, variant="ext"):
+                         hanet=False, variant="ext", backbone="densenet"):
     """Convert a torch minidsnetExt state dict (densenet backbone; aspp
     modes 0/1/2 via ``aspp_mod``; optional HANet head via ``hanet`` —
     flagship train-script config is aspp 0, scripts/trainTorchImpl.sh:30-44)
@@ -315,7 +358,8 @@ def import_minidsnet_ext(state_dict, labels=2, use_att=True,
     sd = state_dict
     params, stats = {}, {}
 
-    params["features"], stats["features"] = import_piramidnet2(sd)
+    params["features"], stats["features"] = import_piramidnet2(
+        sd, backbone=backbone)
 
     # merged image convs
     order = (0, 2, 1, 3)
@@ -371,6 +415,11 @@ def import_minidsnet_ext(state_dict, labels=2, use_att=True,
     params["conv1d_5"] = _conv_plain(sd, "conv1d_5", 32)
     if aspp_mod in (1, 2):
         params["aspp"], stats["aspp"] = import_aspp_dsnet(sd)
+    if backbone in ("resnet50", "resnet101"):
+        # resnet trunks add an ASPP over the deepest tap (aspp_4,
+        # dsnet_t2.py:957-960); only constructed at aspp 0 in the reference
+        params["aspp_4"], stats["aspp_4"] = import_aspp_dsnet(
+            sd, prefix="aspp_4")
     if hanet:
         params["hanet_last"], stats["hanet_last"] = import_hanet_conv(sd)
     if conv_deconv_out:

@@ -1114,3 +1114,64 @@ def test_encdec_seibn_weight_transport(ref):
     """EncoderDecoderNet resnet50/unet_seibn: SE + half-instance-norm IBN-a
     decoder (ibn.py) on the Bottleneck resnet50 split."""
     _encdec_transport("resnet50", "unet_seibn", 173)
+
+
+def test_flagship_resnet50_backbone_transport(ref):
+    """Flagship minidsnetExt on the dilated multi-grid resnet50 trunk
+    (-backbone resnet50: models/resnet_deeplab.py:45-170 os=16 + the
+    aspp_4 head over the deepest tap, dsnet_t2.py:957-960 + :1186-1188).
+    Proves the 7x7-stem/multigrid backbone flavor the densenet tests
+    can't reach."""
+    from types import SimpleNamespace
+
+    ref_mod = load_reference_models()
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import import (
+        import_minidsnet_ext,
+    )
+
+    torch.manual_seed(179)
+    tcfg = SimpleNamespace(dropout=0.0, multaskloss=0, aspp=0, use_att=1,
+                           hanet=0, convDeconvOut=0, abilation="")
+    net = ref_mod.minidsnetExt(tcfg, labels=2, pretrained=False,
+                               patch_type="1dcorr", include_edges=False,
+                               backbone="resnet50")
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_minidsnet_ext(sd, backbone="resnet50")
+
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext"
+    cfg.model.backbone = "resnet50"
+    cfg.model.corr_type = "1dcorr"
+    model = models.get_network(cfg)
+
+    rng = np.random.default_rng(181)
+    H, W = 256, 256
+    left = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    right = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), jnp.asarray(right), train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    # the aspp_4 head amplifies activations like aspp 1/2 do — fp64
+    net.double()
+    with torch.no_grad():
+        t_seg, t_disp, t_seg2, _ = net(
+            torch.from_numpy(left).permute(0, 3, 1, 2).double(),
+            torch.from_numpy(right).permute(0, 3, 1, 2).double())
+    with jax.enable_x64(True):
+        p64 = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64),
+                                     params)
+        s64 = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64),
+                                     stats)
+        out = model.apply({"params": p64, "batch_stats": s64},
+                          jnp.asarray(left, jnp.float64),
+                          jnp.asarray(right, jnp.float64), train=False,
+                          rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([
+        ("seg1", out["seg1"], t2j(t_seg)),
+        ("disp1", out["disp1"], t2j(t_disp)),
+        ("seg2", out["seg2"], t2j(t_seg2)),
+    ], tol=1e-8)
