@@ -150,7 +150,7 @@ def densenet169(axis_name=None, name=None):
 
 @BACKBONES.register("dn201")
 def densenet201(axis_name=None, name=None):
-    return DenseNetFeatures((6, 12, 48, 36), 32, 64, axis_name=axis_name, name=name)
+    return DenseNetFeatures((6, 12, 48, 32), 32, 64, axis_name=axis_name, name=name)
 
 
 @BACKBONES.register("dn161")

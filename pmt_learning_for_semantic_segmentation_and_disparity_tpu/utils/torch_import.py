@@ -271,6 +271,9 @@ def import_piramidnet2(state_dict, prefix="resnet_features",
         params["backbone"], stats["backbone"] = import_resnet_deeplab(
             bb, layers=layers)
     else:
+        dn_blocks = {"densenet": (6, 12, 24, 16), "dn169": (6, 12, 32, 32),
+                     "dn201": (6, 12, 48, 32), "dn161": (6, 12, 36, 24)}
+        block_config = dn_blocks.get(backbone, block_config)
         if "features.conv0.weight" not in bb:
             bb = ref_densenet_to_torchvision_keys(bb)
         params["backbone"], stats["backbone"] = import_densenet121(

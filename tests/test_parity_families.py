@@ -1175,3 +1175,183 @@ def test_flagship_resnet50_backbone_transport(ref):
         ("disp1", out["disp1"], t2j(t_disp)),
         ("seg2", out["seg2"], t2j(t_seg2)),
     ], tol=1e-8)
+
+
+def test_flagship_dn201_backbone_transport(ref):
+    """Flagship minidsnetExt on densenet201 (-backbone dn201 — reference
+    dsnet_t2.py:1916-1917, models/densenet.py:366). Regression test for the
+    block config: densenet201 is (6,12,48,32), NOT (6,12,48,36) — the wrong
+    value shifts the final tap from 1920 to 2048 channels and breaks
+    checkpoint import silently."""
+    from types import SimpleNamespace
+
+    ref_mod = load_reference_models()
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import import (
+        import_minidsnet_ext,
+    )
+
+    torch.manual_seed(211)
+    tcfg = SimpleNamespace(dropout=0.0, multaskloss=0, aspp=0, use_att=1,
+                           hanet=0, convDeconvOut=0, abilation="")
+    net = ref_mod.minidsnetExt(tcfg, labels=2, pretrained=False,
+                               patch_type="1dcorr", include_edges=False,
+                               backbone="dn201")
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_minidsnet_ext(sd, backbone="dn201")
+
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext"
+    cfg.model.backbone = "dn201"
+    cfg.model.corr_type = "1dcorr"
+    model = models.get_network(cfg)
+
+    rng = np.random.default_rng(213)
+    H, W = 256, 256
+    left = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    right = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), jnp.asarray(right), train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    net.double()
+    with torch.no_grad():
+        t_seg, t_disp, t_seg2, _ = net(
+            torch.from_numpy(left).permute(0, 3, 1, 2).double(),
+            torch.from_numpy(right).permute(0, 3, 1, 2).double())
+    with jax.enable_x64(True):
+        p64 = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64),
+                                     params)
+        s64 = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64),
+                                     stats)
+        out = model.apply({"params": p64, "batch_stats": s64},
+                          jnp.asarray(left, jnp.float64),
+                          jnp.asarray(right, jnp.float64), train=False,
+                          rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([
+        ("seg1", out["seg1"], t2j(t_seg)),
+        ("disp1", out["disp1"], t2j(t_disp)),
+        ("seg2", out["seg2"], t2j(t_seg2)),
+    ], tol=1e-8)
+
+
+def test_flagship_dn161_backbone_transport(ref):
+    """Flagship minidsnetExt on densenet161 (-backbone dn161 — reference
+    dsnet_t2.py:1925-1926, models/densenet.py:328-341): unlike dn169/201
+    this variant changes the STEM width (96 init features) and growth rate
+    (48), so it proves the import + flax model are width-generic, not just
+    depth-generic."""
+    from types import SimpleNamespace
+
+    ref_mod = load_reference_models()
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import import (
+        import_minidsnet_ext,
+    )
+
+    torch.manual_seed(197)
+    tcfg = SimpleNamespace(dropout=0.0, multaskloss=0, aspp=0, use_att=1,
+                           hanet=0, convDeconvOut=0, abilation="")
+    net = ref_mod.minidsnetExt(tcfg, labels=2, pretrained=False,
+                               patch_type="1dcorr", include_edges=False,
+                               backbone="dn161")
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_minidsnet_ext(sd, backbone="dn161")
+
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext"
+    cfg.model.backbone = "dn161"
+    cfg.model.corr_type = "1dcorr"
+    model = models.get_network(cfg)
+
+    rng = np.random.default_rng(199)
+    H, W = 256, 256
+    left = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    right = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), jnp.asarray(right), train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    net.double()
+    with torch.no_grad():
+        t_seg, t_disp, t_seg2, _ = net(
+            torch.from_numpy(left).permute(0, 3, 1, 2).double(),
+            torch.from_numpy(right).permute(0, 3, 1, 2).double())
+    with jax.enable_x64(True):
+        p64 = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64),
+                                     params)
+        s64 = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64),
+                                     stats)
+        out = model.apply({"params": p64, "batch_stats": s64},
+                          jnp.asarray(left, jnp.float64),
+                          jnp.asarray(right, jnp.float64), train=False,
+                          rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([
+        ("seg1", out["seg1"], t2j(t_seg)),
+        ("disp1", out["disp1"], t2j(t_disp)),
+        ("seg2", out["seg2"], t2j(t_seg2)),
+    ], tol=1e-8)
+
+
+def test_flagship_dn169_backbone_transport(ref):
+    """Flagship minidsnetExt on densenet169 (-backbone dn169, block config
+    (6,12,32,32) — models/densenet.py:342-355): proves the densenet-variant
+    backbone plumbing beyond the 121 the other tests use."""
+    from types import SimpleNamespace
+
+    ref_mod = load_reference_models()
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import import (
+        import_minidsnet_ext,
+    )
+
+    torch.manual_seed(191)
+    tcfg = SimpleNamespace(dropout=0.0, multaskloss=0, aspp=0, use_att=1,
+                           hanet=0, convDeconvOut=0, abilation="")
+    net = ref_mod.minidsnetExt(tcfg, labels=2, pretrained=False,
+                               patch_type="1dcorr", include_edges=False,
+                               backbone="dn169")
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_minidsnet_ext(sd, backbone="dn169")
+
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext"
+    cfg.model.backbone = "dn169"
+    cfg.model.corr_type = "1dcorr"
+    model = models.get_network(cfg)
+
+    rng = np.random.default_rng(193)
+    H, W = 256, 256
+    left = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    right = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), jnp.asarray(right), train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    # deeper dense blocks amplify random-init activations to ~3e4 where
+    # fp32 rounding alone exceeds 1e-4 relative — pin in fp64 (see aspp)
+    net.double()
+    with torch.no_grad():
+        t_seg, t_disp, t_seg2, _ = net(
+            torch.from_numpy(left).permute(0, 3, 1, 2).double(),
+            torch.from_numpy(right).permute(0, 3, 1, 2).double())
+    with jax.enable_x64(True):
+        p64 = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64),
+                                     params)
+        s64 = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64),
+                                     stats)
+        out = model.apply({"params": p64, "batch_stats": s64},
+                          jnp.asarray(left, jnp.float64),
+                          jnp.asarray(right, jnp.float64), train=False,
+                          rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([
+        ("seg1", out["seg1"], t2j(t_seg)),
+        ("disp1", out["disp1"], t2j(t_disp)),
+        ("seg2", out["seg2"], t2j(t_seg2)),
+    ], tol=1e-8)
