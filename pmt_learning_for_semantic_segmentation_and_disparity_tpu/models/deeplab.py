@@ -237,7 +237,9 @@ class ASPPDeeplab(nn.Module):
         y = nn.Conv(self.features, (1, 1), use_bias=False,
                     kernel_init=he_fan_out, name="proj")(y)
         y = nn.relu(_bn(self, train, ax, "proj_bn")(y))
-        return nn.Dropout(0.1, deterministic=not train)(y)
+        # reference uses Dropout2d (channelwise) — broadcast over H,W
+        return nn.Dropout(0.1, broadcast_dims=(1, 2),
+                          deterministic=not train)(y)
 
 
 class MobileASPP(nn.Module):
@@ -260,7 +262,9 @@ class MobileASPP(nn.Module):
         y = nn.Conv(256, (1, 1), use_bias=False, kernel_init=he_fan_out,
                     name="proj")(y)
         y = nn.relu(_bn(self, train, ax, "proj_bn")(y))
-        return nn.Dropout(0.1, deterministic=not train)(y)
+        # reference uses Dropout2d (channelwise) — broadcast over H,W
+        return nn.Dropout(0.1, broadcast_dims=(1, 2),
+                          deterministic=not train)(y)
 
 
 class SPPDecoder(nn.Module):
@@ -298,6 +302,10 @@ class SPPNetMono(nn.Module):
 
     labels: int = 19
     enc_type: str = "xception65"
+    # net.py:96-97: mobilenetv2 routes through create_mspp(dec_type) — the
+    # default 'aspp' is the full separable ASPP(320,256,8), spp.py:147-148;
+    # 'maspp' selects the 2-branch MobileASPP, spp.py:153-154.
+    dec_type: str = "aspp"
     output_stride: int = 8
     encoder_bn_eps: float = 1e-3  # update_bn_eps applied by the factory
     axis_name: Optional[str] = None
@@ -308,7 +316,11 @@ class SPPNetMono(nn.Module):
         if self.enc_type == "mobilenetv2":
             x = MobileNetV2Encoder(axis_name=ax, bn_eps=self.encoder_bn_eps,
                                    name="encoder")(left, train)
-            x = MobileASPP(axis_name=ax, name="spp")(x, train)
+            if self.dec_type == "maspp":
+                x = MobileASPP(axis_name=ax, name="spp")(x, train)
+            else:
+                x = ASPPDeeplab(256, self.output_stride, axis_name=ax,
+                                name="spp")(x, train)
             logits = nn.Conv(self.labels, (1, 1), name="logits")(x)
         else:
             x, low = Xception65(self.output_stride, axis_name=ax,
@@ -385,7 +397,10 @@ def deeplab_postprocess(logits, hw):
 
 @MODELS.register("deeplab")
 def _make_deeplab(cfg, labels: int, axis_name=None):
-    return SPPNetMono(labels=labels, axis_name=axis_name)
+    # the reference class supports enc_type mobilenetv2 (net.py:89); its CLI
+    # always builds the xception65 default — we expose it via -backbone
+    enc = "mobilenetv2" if cfg.backbone == "mobilenetv2" else "xception65"
+    return SPPNetMono(labels=labels, enc_type=enc, axis_name=axis_name)
 
 
 @MODELS.register("deeplab_mod")

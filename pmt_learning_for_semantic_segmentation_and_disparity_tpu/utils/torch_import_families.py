@@ -105,6 +105,42 @@ def import_aspp_deeplab(sd, prefix="spp") -> Tuple[Tree, Tree]:
     return p, s
 
 
+def import_mobilenetv2_encoder(sd, prefix="encoder") -> Tuple[Tree, Tree]:
+    """MobileNetV2 deeplab encoder (models_deeplab/mobilenet.py:53-103:
+    stem conv + 17 ExpandedConv blocks, output_stride 8 via dilation) ->
+    MobileNetV2Encoder params/batch_stats."""
+    p: Tree = {}
+    s: Tree = {}
+    p["stem"] = _conv_nobias(sd, f"{prefix}.conv.weight")
+    p["stem_bn"], s["stem_bn"] = _plain_bn(sd, f"{prefix}.bn")
+    for i in range(17):
+        pre = f"{prefix}.block{i}"
+        if f"{pre}.expand.conv.weight" in sd:  # block0 has expand_ratio=1
+            p[f"block{i}_expand"] = _conv_nobias(sd, f"{pre}.expand.conv.weight")
+            p[f"block{i}_ebn"], s[f"block{i}_ebn"] = _plain_bn(
+                sd, f"{pre}.expand.bn")
+        p[f"block{i}_dw"] = _conv_nobias(sd, f"{pre}.depthwise.conv.weight")
+        p[f"block{i}_dbn"], s[f"block{i}_dbn"] = _plain_bn(
+            sd, f"{pre}.depthwise.bn")
+        p[f"block{i}_proj"] = _conv_nobias(sd, f"{pre}.project.conv.weight")
+        p[f"block{i}_pbn"], s[f"block{i}_pbn"] = _plain_bn(
+            sd, f"{pre}.project.bn")
+    return p, s
+
+
+def import_mobile_aspp(sd, prefix="spp") -> Tuple[Tree, Tree]:
+    """MobileASPP (models_deeplab/spp.py:80-108) -> MobileASPP."""
+    p: Tree = {}
+    s: Tree = {}
+    p["gap_conv"] = _conv_nobias(sd, f"{prefix}.image_pooling.conv.weight")
+    p["gap_bn"], s["gap_bn"] = _plain_bn(sd, f"{prefix}.image_pooling.bn")
+    p["aspp0_conv"] = _conv_nobias(sd, f"{prefix}.aspp0.conv.weight")
+    p["aspp0_bn"], s["aspp0_bn"] = _plain_bn(sd, f"{prefix}.aspp0.bn")
+    p["proj"] = _conv_nobias(sd, f"{prefix}.conv.weight")
+    p["proj_bn"], s["proj_bn"] = _plain_bn(sd, f"{prefix}.bn")
+    return p, s
+
+
 def import_spp_decoder(sd, prefix, concat_prev=False) -> Tuple[Tree, Tree]:
     """SPPDecoder (models_deeplab_mod/spp.py:131-157 superset)."""
     p: Tree = {}
@@ -119,15 +155,25 @@ def import_spp_decoder(sd, prefix, concat_prev=False) -> Tuple[Tree, Tree]:
     return p, s
 
 
-def import_sppnet_mono(state_dict) -> Tuple[Tree, Tree]:
-    """SPPNet 'deeplab' (models_deeplab/net.py:82-135, xception65/aspp) ->
-    SPPNetMono {params, batch_stats}."""
+def import_sppnet_mono(state_dict, enc_type="xception65",
+                       dec_type="aspp") -> Tuple[Tree, Tree]:
+    """SPPNet 'deeplab' (models_deeplab/net.py:82-135) -> SPPNetMono
+    {params, batch_stats}. enc_type 'xception65' (aspp + decoder) or
+    'mobilenetv2' (create_mspp decoder-less head, net.py:93-104 — dec_type
+    'aspp' = full ASPP(320,256,8), 'maspp' = MobileASPP)."""
     sd = state_dict
     p: Tree = {}
     s: Tree = {}
-    p["encoder"], s["encoder"] = import_xception65(sd)
-    p["spp"], s["spp"] = import_aspp_deeplab(sd)
-    p["decoder"], s["decoder"] = import_spp_decoder(sd, "decoder")
+    if enc_type == "mobilenetv2":
+        p["encoder"], s["encoder"] = import_mobilenetv2_encoder(sd)
+        if dec_type == "maspp":
+            p["spp"], s["spp"] = import_mobile_aspp(sd)
+        else:
+            p["spp"], s["spp"] = import_aspp_deeplab(sd)
+    else:
+        p["encoder"], s["encoder"] = import_xception65(sd)
+        p["spp"], s["spp"] = import_aspp_deeplab(sd)
+        p["decoder"], s["decoder"] = import_spp_decoder(sd, "decoder")
     p["logits"] = _conv_bias(sd, "logits")
     return p, s
 

@@ -104,6 +104,84 @@ def test_deeplab_mono_weight_transport(ref):
     assert_heads_close([("seg1", out["seg1"], t2j(t_out))])
 
 
+def test_deeplab_mobilenetv2_weight_transport(ref):
+    """'deeplab' with enc_type='mobilenetv2' (models_deeplab/net.py:89-104:
+    MobileNetV2 encoder, create_mspp('aspp') = full separable ASPP(320,256,8)
+    per spp.py:147-148, no decoder): proves the second encoder option of the
+    mono SPPNet — stem + 17 ExpandedConv blocks (ReLU6, depthwise groups,
+    dilation 2/4 tail)."""
+    from models_deeplab.net import SPPNet
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import_families import (
+        import_sppnet_mono,
+    )
+
+    torch.manual_seed(17)
+    net = SPPNet(output_channels=19, enc_type="mobilenetv2")
+    net.update_bn_eps()
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_sppnet_mono(sd, enc_type="mobilenetv2")
+
+    cfg = PMTConfig()
+    cfg.model.net = "deeplab"
+    cfg.model.backbone = "mobilenetv2"
+    cfg.data.dataset_name = "cityscapes"
+    model = models.get_network(cfg)
+
+    rng = np.random.default_rng(5)
+    left = rng.standard_normal((1, 64, 96, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), None, train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    with torch.no_grad():
+        t_out = net(torch.from_numpy(left).permute(0, 3, 1, 2))
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(left), None, train=False,
+                      rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([("seg1", out["seg1"], t2j(t_out))])
+
+
+def test_deeplab_mobilenetv2_maspp_weight_transport(ref):
+    """'deeplab' mobilenetv2 with dec_type='maspp' (spp.py:80-108,153-154):
+    the 2-branch MobileASPP head (gap + 1x1, concat, 512->256 proj)."""
+    from models_deeplab.net import SPPNet
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.models.deeplab import (
+        SPPNetMono,
+    )
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import_families import (
+        import_sppnet_mono,
+    )
+
+    torch.manual_seed(19)
+    net = SPPNet(output_channels=19, enc_type="mobilenetv2",
+                 dec_type="maspp")
+    net.update_bn_eps()
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_sppnet_mono(sd, enc_type="mobilenetv2",
+                                       dec_type="maspp")
+
+    model = SPPNetMono(labels=19, enc_type="mobilenetv2", dec_type="maspp")
+
+    rng = np.random.default_rng(7)
+    left = rng.standard_normal((1, 64, 96, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), None, train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    with torch.no_grad():
+        t_out = net(torch.from_numpy(left).permute(0, 3, 1, 2))
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(left), None, train=False,
+                      rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([("seg1", out["seg1"], t2j(t_out))])
+
+
 def test_deeplab_mod_weight_transport(ref):
     """'deeplab_mod' = stereo SPPNet (models_deeplab_mod/net.py:82-169):
     shared xception65 with block-8/14 taps, unnormalized 1-D correlation,
@@ -1175,6 +1253,60 @@ def test_flagship_resnet50_backbone_transport(ref):
         ("disp1", out["disp1"], t2j(t_disp)),
         ("seg2", out["seg2"], t2j(t_seg2)),
     ], tol=1e-8)
+
+
+def test_flagship_2dcorr_weight_transport(ref):
+    """Flagship minidsnetExt with patch_type='2dcorr' (dsnet_t2.py:1072-1077:
+    17x17 patch, corrConv2d in_planes 289, forward flattens (ph,pw) and
+    divides by channels :1190-1192). The 1dcorr flagship is proven in
+    test_parity_full_model; this pins the other correlation geometry end to
+    end (patch flattening order dy-major + channel normalization + the
+    289-ch consumer conv)."""
+    from types import SimpleNamespace
+
+    ref_mod = load_reference_models()
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import import (
+        import_minidsnet_ext,
+    )
+
+    torch.manual_seed(223)
+    tcfg = SimpleNamespace(dropout=0.0, multaskloss=0, aspp=0, use_att=1,
+                           hanet=0, convDeconvOut=0, abilation="")
+    net = ref_mod.minidsnetExt(tcfg, labels=2, pretrained=False,
+                               patch_type="2dcorr", include_edges=False,
+                               backbone="densenet")
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_minidsnet_ext(sd)
+
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext"
+    cfg.model.backbone = "densenet"
+    cfg.model.corr_type = "2dcorr"
+    model = models.get_network(cfg)
+
+    rng = np.random.default_rng(227)
+    H, W = 256, 256
+    left = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    right = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), jnp.asarray(right), train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    with torch.no_grad():
+        t_seg, t_disp, t_seg2, _ = net(
+            torch.from_numpy(left).permute(0, 3, 1, 2),
+            torch.from_numpy(right).permute(0, 3, 1, 2))
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(left), jnp.asarray(right), train=False,
+                      rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([
+        ("seg1", out["seg1"], t2j(t_seg)),
+        ("disp1", out["disp1"], t2j(t_disp)),
+        ("seg2", out["seg2"], t2j(t_seg2)),
+    ])
 
 
 def test_flagship_dn201_backbone_transport(ref):
