@@ -77,9 +77,10 @@ class MBConv(nn.Module):
             y = nn.Conv(mid, (1, 1), use_bias=False, kernel_init=he_fan_out,
                         name="expand")(y)
             y = swish(bn("expand_bn")(y))
-        pad = (self.kernel - 1) // 2
+        # efficientnet_pytorch pads TF-'SAME' dynamically (asymmetric for
+        # stride 2 + even input) — flax 'SAME' has identical semantics
         y = nn.Conv(mid, (self.kernel, self.kernel),
-                    strides=(self.stride,) * 2, padding=[(pad, pad)] * 2,
+                    strides=(self.stride,) * 2, padding="SAME",
                     feature_group_count=mid, use_bias=False,
                     kernel_init=he_fan_out, name="dw")(y)
         y = swish(bn("dw_bn")(y))
@@ -111,7 +112,7 @@ class EfficientNetFeatures(nn.Module):
                                 dtype=None, name=name)
 
         stem = round_filters(32, self.width)
-        x = nn.Conv(stem, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2,
+        x = nn.Conv(stem, (3, 3), strides=(2, 2), padding="SAME",
                     use_bias=False, kernel_init=he_fan_out, name="stem")(x)
         x = swish(bn("stem_bn")(x))
 

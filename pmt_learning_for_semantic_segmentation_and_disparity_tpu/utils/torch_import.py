@@ -255,6 +255,42 @@ def import_resnet_deeplab(sd, layers=(3, 4, 6, 3)):
     return p, s
 
 
+def import_efficientnet(sd) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """efficientnet_pytorch state dict (unprefixed `_conv_stem`/`_blocks.i`/
+    `_conv_head` keys — the layout EfficientNet.from_pretrained delivers,
+    models/dsnet_t2.py:1956) -> our EfficientNetFeatures params/batch_stats
+    (models/efficientnet.py layout)."""
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    p["stem"] = {"kernel": conv_kernel(np.asarray(sd["_conv_stem.weight"]))}
+    p["stem_bn"], s["stem_bn"] = bn_entries(sd, "_bn0")
+    i = 0
+    while f"_blocks.{i}._depthwise_conv.weight" in sd:
+        pre = f"_blocks.{i}"
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        if f"{pre}._expand_conv.weight" in sd:
+            bp["expand"] = {"kernel": conv_kernel(
+                np.asarray(sd[f"{pre}._expand_conv.weight"]))}
+            bp["expand_bn"], bs["expand_bn"] = bn_entries(sd, f"{pre}._bn0")
+        bp["dw"] = {"kernel": conv_kernel(
+            np.asarray(sd[f"{pre}._depthwise_conv.weight"]))}
+        bp["dw_bn"], bs["dw_bn"] = bn_entries(sd, f"{pre}._bn1")
+        for ours, theirs in (("se_reduce", "_se_reduce"),
+                             ("se_expand", "_se_expand")):
+            bp[ours] = {"kernel": conv_kernel(
+                np.asarray(sd[f"{pre}.{theirs}.weight"])),
+                "bias": np.asarray(sd[f"{pre}.{theirs}.bias"])}
+        bp["project"] = {"kernel": conv_kernel(
+            np.asarray(sd[f"{pre}._project_conv.weight"]))}
+        bp["project_bn"], bs["project_bn"] = bn_entries(sd, f"{pre}._bn2")
+        p[f"block{i}"], s[f"block{i}"] = bp, bs
+        i += 1
+    p["head"] = {"kernel": conv_kernel(np.asarray(sd["_conv_head.weight"]))}
+    p["head_bn"], s["head_bn"] = bn_entries(sd, "_bn1")
+    return p, s
+
+
 def import_piramidnet2(state_dict, prefix="resnet_features",
                        block_config=(6, 12, 24, 16),
                        branches=((0, 5), (1, 4), (2, 3)),
@@ -270,6 +306,8 @@ def import_piramidnet2(state_dict, prefix="resnet_features",
         layers = (3, 4, 6, 3) if backbone == "resnet50" else (3, 4, 23, 3)
         params["backbone"], stats["backbone"] = import_resnet_deeplab(
             bb, layers=layers)
+    elif backbone.startswith("efficientnet"):
+        params["backbone"], stats["backbone"] = import_efficientnet(bb)
     else:
         dn_blocks = {"densenet": (6, 12, 24, 16), "dn169": (6, 12, 32, 32),
                      "dn201": (6, 12, 48, 32), "dn161": (6, 12, 36, 24)}

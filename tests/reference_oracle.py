@@ -56,11 +56,10 @@ def load_reference_models():
     sys.modules.setdefault("spatial_correlation_sampler", m)
 
     e = types.ModuleType("efficientnet_pytorch")
-
-    class _EffNet:
-        @staticmethod
-        def from_pretrained(name):
-            raise RuntimeError("efficientnet weights unavailable offline")
+    # independent torch implementation of the package's architecture with
+    # identical state-dict keys (tests/effnet_oracle.py); from_pretrained
+    # falls back to random init (no downloads in this image)
+    from effnet_oracle import EfficientNet as _EffNet
 
     e.EfficientNet = _EffNet
     sys.modules.setdefault("efficientnet_pytorch", e)

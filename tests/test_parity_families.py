@@ -1255,6 +1255,69 @@ def test_flagship_resnet50_backbone_transport(ref):
     ], tol=1e-8)
 
 
+def test_flagship_efficientnet_b2_backbone_transport(ref):
+    """Flagship minidsnetExt on efficientnet-b2 (dsnet_t2.py:1973-1980:
+    extract_endpoints reductions (16,24,48,120,1408), segnet_input 2816,
+    inplane_seg2 304 per :1046-1053). The oracle is tests/effnet_oracle.py —
+    an independent torch implementation of the efficientnet_pytorch
+    architecture with identical state-dict keys (the real package is not
+    installed in this image); this pins MBConv wiring, SE channel counts,
+    TF-dynamic-SAME padding alignment and the 0.6.x endpoint semantics."""
+    from types import SimpleNamespace
+
+    ref_mod = load_reference_models()
+    from pmt_learning_for_semantic_segmentation_and_disparity_tpu.utils.torch_import import (
+        import_minidsnet_ext,
+    )
+
+    torch.manual_seed(229)
+    tcfg = SimpleNamespace(dropout=0.0, multaskloss=0, aspp=0, use_att=1,
+                           hanet=0, convDeconvOut=0, abilation="")
+    net = ref_mod.minidsnetExt(tcfg, labels=2, pretrained=False,
+                               patch_type="1dcorr", include_edges=False,
+                               backbone="efficientnet-b2")
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = import_minidsnet_ext(sd, backbone="efficientnet-b2")
+
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext"
+    cfg.model.backbone = "efficientnet-b2"
+    cfg.model.corr_type = "1dcorr"
+    model = models.get_network(cfg)
+
+    rng = np.random.default_rng(233)
+    H, W = 256, 256
+    left = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    right = rng.standard_normal((1, H, W, 3), dtype=np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(left), jnp.asarray(right), train=False,
+    )
+    assert_tree_match(variables, params, stats)
+
+    # 80+ blocks of swish/SE compounding on random init — pin in fp64
+    net.double()
+    with torch.no_grad():
+        t_seg, t_disp, t_seg2, _ = net(
+            torch.from_numpy(left).permute(0, 3, 1, 2).double(),
+            torch.from_numpy(right).permute(0, 3, 1, 2).double())
+    with jax.enable_x64(True):
+        p64 = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64),
+                                     params)
+        s64 = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64),
+                                     stats)
+        out = model.apply({"params": p64, "batch_stats": s64},
+                          jnp.asarray(left, jnp.float64),
+                          jnp.asarray(right, jnp.float64), train=False,
+                          rngs={"dropout": jax.random.PRNGKey(0)})
+    assert_heads_close([
+        ("seg1", out["seg1"], t2j(t_seg)),
+        ("disp1", out["disp1"], t2j(t_disp)),
+        ("seg2", out["seg2"], t2j(t_seg2)),
+    ], tol=1e-8)
+
+
 def test_flagship_2dcorr_weight_transport(ref):
     """Flagship minidsnetExt with patch_type='2dcorr' (dsnet_t2.py:1072-1077:
     17x17 patch, corrConv2d in_planes 289, forward flattens (ph,pw) and
