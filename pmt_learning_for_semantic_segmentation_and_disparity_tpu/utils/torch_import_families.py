@@ -416,16 +416,17 @@ def _rcu(sd, prefix, use_deconv=True) -> Tuple[Tree, Tree]:
     return p, s
 
 
-def import_ext_small(state_dict, variant="edge") -> Tuple[Tree, Tree]:
+def import_ext_small(state_dict, variant="edge",
+                     backbone="densenet") -> Tuple[Tree, Tree]:
     """Ext_small (:130-381) / Ext_smallv2 (:382-638) / Ext_smallv0
-    (:639-894), densenet backbone, aspp 0 -> ExtSmall {params,
-    batch_stats}. conv1d_3 is constructed but unused in every variant's
-    forward — skipped, like the flagship importer does."""
+    (:639-894), aspp 0 -> ExtSmall {params, batch_stats}. conv1d_3 is
+    constructed but unused in every variant's forward — skipped, like the
+    flagship importer does."""
     sd = state_dict
     use_dc = variant != "edge"
     p: Tree = {}
     s: Tree = {}
-    p["features"], s["features"] = import_piramidnet2(sd)
+    p["features"], s["features"] = import_piramidnet2(sd, backbone=backbone)
 
     if variant == "edge":
         for i in (0, 1, 2):

@@ -288,7 +288,8 @@ def test_psmnet_weight_transport(ref):
     assert_heads_close([("disp", disp, t_pred.numpy())], tol=1e-8)
 
 
-def _ext_small_pair(variant, net_key, torch_cls_name, seed):
+def _ext_small_pair(variant, net_key, torch_cls_name, seed,
+                    backbone="densenet"):
     """Instantiate the reference Ext_small* net + our ExtSmall, transport
     weights, return (torch_net, model, variables, inputs)."""
     from types import SimpleNamespace
@@ -302,14 +303,14 @@ def _ext_small_pair(variant, net_key, torch_cls_name, seed):
     tcfg = SimpleNamespace(aspp=0)
     cls = getattr(ref_es, torch_cls_name)
     net = cls(tcfg, labels=2, pretrained=False, patch_type="1dcorr",
-              include_edges=False, backbone="densenet")
+              include_edges=False, backbone=backbone)
     net.eval()
     sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
-    params, stats = import_ext_small(sd, variant=variant)
+    params, stats = import_ext_small(sd, variant=variant, backbone=backbone)
 
     cfg = PMTConfig()
     cfg.model.net = net_key
-    cfg.model.backbone = "densenet"
+    cfg.model.backbone = backbone
     cfg.model.corr_type = "1dcorr"
     model = models.get_network(cfg)
 
@@ -369,6 +370,46 @@ def test_ext_small_v0_weight_transport(ref):
         ("disp1", out["disp1"], t_disp),
         ("seg2", out["seg2"], t_seg2),
     ])
+
+
+def test_ext_small_v0_efficientnet_divergence(ref):
+    """Documented divergence: Ext_smallv0 'supports' efficientnet-b4 in its
+    constructor (dsnet_t2_ext_small.py:185-191 sets segnet_input 1792*2)
+    but its forward is BROKEN for every efficientnet backbone — the disp
+    skip concatenates a_0 (tap0: 24 ch for b4) into conv1d_2 which is
+    hardcoded conv2dSame(64+64, 64) (:763, :829-835), so the torch forward
+    raises a channel-mismatch RuntimeError. Our ExtSmall infers skip
+    channels and runs; this test pins both facts so the divergence is
+    deliberate, not a wiring slip."""
+    from types import SimpleNamespace
+
+    import models.dsnet_t2_ext_small as ref_es
+
+    torch.manual_seed(37)
+    tcfg = SimpleNamespace(aspp=0)
+    net = ref_es.Ext_smallv0(tcfg, labels=2, pretrained=False,
+                             patch_type="1dcorr", include_edges=False,
+                             backbone="efficientnet-b4")
+    net.eval()
+    left = torch.randn(1, 3, 256, 256)
+    with pytest.raises(RuntimeError):
+        with torch.no_grad():
+            net(left, left)
+
+    cfg = PMTConfig()
+    cfg.model.net = "sdnet_mini_ext_small"
+    cfg.model.backbone = "efficientnet-b4"
+    cfg.model.corr_type = "1dcorr"
+    model = models.get_network(cfg)
+    x = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, x, train=False,
+    )
+    out = model.apply(variables, x, x, train=False,
+                      rngs={"dropout": jax.random.PRNGKey(0)})
+    assert out["seg1"].shape == (1, 256, 256, 2)
+    assert out["disp1"].shape == (1, 256, 256, 1)
 
 
 def test_ext_small_v2_weight_transport(ref):
