@@ -64,14 +64,18 @@ def measure_tpu() -> float:
         out = model.apply(variables, left, right, train=False)
         return out["seg2"], out["disp1"]
 
-    # warmup / compile
+    import numpy as np
+
+    # warmup / compile. Timer: host-transfer one element of the LAST output
+    # instead of trusting block_until_ready — over the axon relay the latter
+    # can return early (BENCH_NOTES round 1/3), inflating throughput.
     for _ in range(WARMUP):
         s, d = fwd(left, right)
-        jax.block_until_ready((s, d))
+        np.asarray(d[0, 0, 0, :1])
     t0 = time.perf_counter()
     for _ in range(ITERS):
         s, d = fwd(left, right)
-    jax.block_until_ready((s, d))
+    np.asarray(d[0, 0, 0, :1])
     dt = time.perf_counter() - t0
     return BATCH * ITERS / dt
 

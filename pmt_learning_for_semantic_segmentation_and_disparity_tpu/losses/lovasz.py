@@ -65,10 +65,13 @@ def lovasz_softmax(
     fg_all = ((l[None, :] == cls_ids[:, None])
               & valid[None, :]).astype(p.dtype)          # (C, N)
     errors_all = jnp.abs(fg_all - p.T) * validf[None, :]
-    # descending sort; ties between zero-error valid and ignored pixels
-    # are harmless because their dot-product contribution is zero.
+    # descending UNSTABLE sort (torch.sort's default is unstable too): the
+    # loss is tie-order invariant — within a tied-key block the err·Δjaccard
+    # dot telescopes, so only the block's fg COUNT matters, which any
+    # permutation preserves. Unstable is 16.0 -> 10.3 ms at (2, 1M) on v5e
+    # (tools/bench_sort.py, BENCH_NOTES round 3).
     neg_sorted, fg_sorted = jax.lax.sort(
-        (-errors_all, fg_all), dimension=1, is_stable=True, num_keys=1)
+        (-errors_all, fg_all), dimension=1, is_stable=False, num_keys=1)
     grad = _lovasz_grad_batched(fg_sorted)
     losses = jnp.sum(-neg_sorted * grad, axis=1)
 
@@ -93,6 +96,6 @@ def lovasz_hinge(
     errors = (1.0 - lg * signs) * validf
     gt = lb.astype(lg.dtype) * validf
     neg_sorted, gt_sorted = jax.lax.sort(
-        (-errors, gt), dimension=0, is_stable=True, num_keys=1)
+        (-errors, gt), dimension=0, is_stable=False, num_keys=1)
     grad = _lovasz_grad(gt_sorted)
     return jnp.dot(jnp.maximum(-neg_sorted, 0.0), grad)

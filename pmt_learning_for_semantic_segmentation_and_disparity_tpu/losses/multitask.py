@@ -32,7 +32,9 @@ def multitask_loss(
         logp = jax.nn.log_softmax(logits, axis=-1)
         valid = (seg_labels != ignore_index)
         safe = jnp.where(valid, seg_labels, 0)
-        pix = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        from .seg import pick_class
+
+        pix = -pick_class(logp, safe)
         return jnp.where(valid, pix, 0.0)
 
     loss_disp = jnp.exp(-log_var_disp) * jnp.abs(disp - disp_gt) + log_var_disp

@@ -56,14 +56,20 @@ def ohem_cross_entropy(
 ) -> jnp.ndarray:
     """logits: (B,H,W,C); labels: (B,H,W) int. Mean CE over kept pixels."""
     log_probs = jax.nn.log_softmax(logits, axis=-1)
-    probs = jnp.exp(log_probs)
     if ignore_index is not None:
         valid = labels != ignore_index
     else:
         valid = jnp.ones_like(labels, dtype=bool)
     safe_labels = jnp.clip(jnp.where(valid, labels, 0), 0,
                             logits.shape[-1] - 1)
-    gt_prob = jnp.take_along_axis(probs, safe_labels[..., None], axis=-1)[..., 0]
+    # one-hot pick of the GT-class log-prob (see losses/seg.pick_class — a
+    # minor-axis gather here cost ~12 ms/step on TPU); exp of the picked
+    # value equals picking from exp(log_probs) elementwise-exactly, and
+    # skips materializing the full probs tensor.
+    from .seg import class_weight_map, pick_class
+
+    picked_logp = pick_class(log_probs, safe_labels)
+    gt_prob = jnp.exp(picked_logp)
 
     threshold = jnp.asarray(thresh, logits.dtype)
     if min_kept > 0:
@@ -74,8 +80,8 @@ def ohem_cross_entropy(
 
     kept = valid & (gt_prob <= threshold)
     keptf = kept.astype(logits.dtype)
-    ce = -jnp.take_along_axis(log_probs, safe_labels[..., None], axis=-1)[..., 0]
+    ce = -picked_logp
     if weights is not None:
-        w = weights[safe_labels] * keptf
+        w = class_weight_map(weights, safe_labels) * keptf
         return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1e-8)
     return jnp.sum(ce * keptf) / jnp.maximum(jnp.sum(keptf), 1e-8)

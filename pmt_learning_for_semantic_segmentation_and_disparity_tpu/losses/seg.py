@@ -18,6 +18,28 @@ import jax.numpy as jnp
 from ..ops.edges import box_count
 
 
+def pick_class(values: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """``values[..., labels]`` per pixel: (…,C),(…,)int -> (…,).
+
+    One-hot multiply-reduce instead of ``take_along_axis``: a minor-axis
+    one-element-per-pixel gather lowers to a pathological generic gather
+    on TPU (~12 ms per call at (8,256,512,2) — 21% of the flagship train
+    step, BENCH_NOTES round 3), while the one-hot contraction fuses into
+    elementwise VPU ops and its transpose is a multiply instead of a
+    scatter-add. Exact: exactly one term of the reduction is nonzero
+    (×1.0, +0.0), and log_softmax of finite logits is always finite so
+    no -inf·0 NaNs can arise.
+    """
+    oh = jax.nn.one_hot(labels, values.shape[-1], dtype=values.dtype)
+    return jnp.sum(values * oh, axis=-1)
+
+
+def class_weight_map(weights: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """``weights[labels]`` without the 1M-pixel table gather (same trick)."""
+    oh = jax.nn.one_hot(labels, weights.shape[0], dtype=weights.dtype)
+    return jnp.sum(oh * weights, axis=-1)
+
+
 def categorical_cross_entropy(
     log_probs: jnp.ndarray, gt: jnp.ndarray, weights: Optional[jnp.ndarray] = None
 ) -> jnp.ndarray:
@@ -58,9 +80,9 @@ def categorical_nll(
     labels = jnp.argmax(gt_full, axis=-1)
     valid = (labels != ignore_index).astype(log_probs.dtype)
     safe = jnp.clip(labels, 0, log_probs.shape[-1] - 1)
-    picked = jnp.take_along_axis(log_probs, safe[..., None], axis=-1)[..., 0]
+    picked = pick_class(log_probs, safe)
     if weights is not None:
-        w = weights[labels] * valid
+        w = class_weight_map(weights, safe) * valid
         return jnp.sum(-picked * w)
     return jnp.sum(-picked * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 

@@ -28,12 +28,15 @@ ITERS = 20
 
 
 def timeit(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # axon relay: block_until_ready can return early (BENCH_NOTES round 1);
+    # host-transfer one element of the LAST output to force the sequential
+    # chain to really finish before reading the clock.
+    for _ in range(3):
+        np.asarray(fn(*args)[0, 0, 0, :1])
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(out[0, 0, 0, :1])
     return (time.perf_counter() - t0) / ITERS * 1e3
 
 
