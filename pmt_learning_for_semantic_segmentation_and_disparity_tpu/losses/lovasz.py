@@ -16,6 +16,44 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.custom_vjp
+def _sorted_errors(err: jnp.ndarray, pay: jnp.ndarray):
+    """Descending sort of ``err`` along the last axis with ``pay`` riding
+    as a (non-differentiated) payload; returns ``(-err_sorted, pay_sorted)``.
+
+    custom_vjp rationale: jax's native sort transpose un-permutes the
+    cotangent with a scatter, which costs ~7 ms/step at the flagship's
+    (1M,) shape on v5e; un-permuting by a SECOND key-value sort on the
+    saved permutation (unique i32 keys) is ~5x cheaper (BENCH_NOTES
+    round 3b). Values are identical: a permutation scatter and a sort by
+    the permutation compute the same reordering.
+    """
+    return jax.lax.sort((-err, pay), dimension=err.ndim - 1,
+                        is_stable=False, num_keys=1)
+
+
+def _sorted_errors_fwd(err, pay):
+    n = err.shape[-1]
+    iota = jnp.broadcast_to(
+        jax.lax.iota(jnp.int32, n), err.shape)
+    neg_s, pay_s, perm = jax.lax.sort(
+        (-err, pay, iota), dimension=err.ndim - 1,
+        is_stable=False, num_keys=1)
+    return (neg_s, pay_s), perm
+
+
+def _sorted_errors_bwd(perm, cts):
+    g_neg, _ = cts
+    # position i of the result gets g_neg[j] where perm[j] == i, i.e. the
+    # cotangent un-permuted back to input order; d(-err)/d(err) = -1.
+    _, g_err = jax.lax.sort((perm, g_neg), dimension=perm.ndim - 1,
+                            is_stable=False, num_keys=1)
+    return -g_err, jnp.zeros_like(cts[1])
+
+
+_sorted_errors.defvjp(_sorted_errors_fwd, _sorted_errors_bwd)
+
+
 def _lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
     """Gradient of the Lovász extension w.r.t. sorted errors (Alg.1)."""
     p = gt_sorted.shape[0]
@@ -71,8 +109,7 @@ def lovasz_softmax(
         fg1 = ((l == 1) & valid).astype(p.dtype)
         err = jnp.abs(fg1 - p[:, 1]) * validf
         pay = (fg0 + 2.0 * fg1).astype(jnp.bfloat16)
-        neg_sorted, pay_s = jax.lax.sort(
-            (-err, pay), dimension=0, is_stable=False, num_keys=1)
+        neg_sorted, pay_s = _sorted_errors(err, pay)
         fg_sorted = jnp.stack([pay_s == jnp.bfloat16(1.0),
                                pay_s == jnp.bfloat16(2.0)]).astype(p.dtype)
         grad = _lovasz_grad_batched(fg_sorted)
@@ -96,8 +133,7 @@ def lovasz_softmax(
     # dot telescopes, so only the block's fg COUNT matters, which any
     # permutation preserves. Unstable is 16.0 -> 10.3 ms at (2, 1M) on v5e
     # (tools/bench_sort.py, BENCH_NOTES round 3).
-    neg_sorted, fg_sorted = jax.lax.sort(
-        (-errors_all, fg_all), dimension=1, is_stable=False, num_keys=1)
+    neg_sorted, fg_sorted = _sorted_errors(errors_all, fg_all)
     grad = _lovasz_grad_batched(fg_sorted)
     losses = jnp.sum(-neg_sorted * grad, axis=1)
 
@@ -121,7 +157,6 @@ def lovasz_hinge(
     signs = 2.0 * lb.astype(lg.dtype) - 1.0
     errors = (1.0 - lg * signs) * validf
     gt = lb.astype(lg.dtype) * validf
-    neg_sorted, gt_sorted = jax.lax.sort(
-        (-errors, gt), dimension=0, is_stable=False, num_keys=1)
+    neg_sorted, gt_sorted = _sorted_errors(errors, gt)
     grad = _lovasz_grad(gt_sorted)
     return jnp.dot(jnp.maximum(-neg_sorted, 0.0), grad)

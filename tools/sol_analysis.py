@@ -77,9 +77,16 @@ def main():
     print(f"step flops            : {flops / 1e12:.3f} TF")
     print(f"step bytes accessed   : {bytes_ / 1e9:.3f} GB")
     print(f"MXU-bound time (bf16) : {t_flops * 1e3:.2f} ms")
-    print(f"HBM-bound time        : {t_hbm * 1e3:.2f} ms")
-    print(f"SOL step time         : {sol * 1e3:.2f} ms "
-          f"-> {tb / sol:.1f} pairs/s/chip")
+    # NOTE: cost_analysis 'bytes accessed' is PRE-fusion HLO traffic — it
+    # counts every intermediate XLA later fuses away. Measured round-3
+    # throughput (73 pairs/s) EXCEEDS the bytes-derived "bound" (24.7),
+    # proving it is not a bound at all post-fusion. The only honest SOL
+    # from this tool is the MXU (flops) floor; memory-boundedness must
+    # come from the profiler's per-category device times instead.
+    print(f"HBM-bound time        : {t_hbm * 1e3:.2f} ms  "
+          f"(pre-fusion bytes — NOT a real bound, see note)")
+    print(f"MXU SOL step time     : {t_flops * 1e3:.2f} ms "
+          f"-> {tb / t_flops:.1f} pairs/s/chip ceiling")
     for k in sorted(ca):
         if k.endswith("flops") or "bytes" in k:
             print(f"  {k}: {ca[k]:.3e}")
