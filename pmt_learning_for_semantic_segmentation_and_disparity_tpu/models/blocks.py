@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from flax.linen.dtypes import promote_dtype
 
 from ..ops.s2d import embed_kernel, tile_channel_param
+from ..ops.winograd import winograd_conv3x3, winograd_enabled
 
 # He-normal with fan_out: normal(0, sqrt(2/(kh*kw*out))) — the reference's
 # init everywhere (dsnet_t2.py:37-43, torch_model.py:260-266).
@@ -102,6 +103,12 @@ class SameConv(nn.Module):
             kernel = embed_kernel(kernel)
             if bias is not None:
                 bias = tile_channel_param(bias)
+            if winograd_enabled():
+                # F(2x2,3x3) on the embedded kernel: 2.25x fewer MACs at
+                # the same 128-lane-full matmul shapes (ops/winograd.py)
+                x, kernel, bias = promote_dtype(x, kernel, bias,
+                                                dtype=self.dtype)
+                return winograd_conv3x3(x, kernel, bias)
         x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
