@@ -16,19 +16,57 @@ documented separately once a reference GPU figure exists.
 import json
 import os
 import sys
+import threading
 import time
 
 H, W, BATCH = 512, 960, int(os.environ.get("PMT_BENCH_BATCH", "16"))
 WARMUP, ITERS = 2, 8
 
+# Wall-clock budget (s). Round 4's driver run hit its outer `timeout`
+# (rc=124) before any JSON was printed — a degraded axon tunnel made the
+# cold compile crawl and the process died silently. A daemon watchdog
+# thread prints whatever has been measured so far and exits 0 at the
+# budget, even if the main thread is stuck inside a blocking runtime RPC
+# (a SIGALRM handler could not fire there; os._exit can).
+BUDGET_S = float(os.environ.get("PMT_BENCH_BUDGET_S", "480"))
+_T0 = time.monotonic()
+_STATE = {"done": False, "phase": "init"}
 
-def measure_tpu() -> float:
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+def _start_watchdog(out: dict):
+    def watchdog():
+        while not _STATE["done"]:
+            if _remaining() <= 0:
+                out["bench_error"] = (
+                    f"watchdog: {BUDGET_S:.0f}s budget hit in phase "
+                    f"{_STATE['phase']} (degraded tunnel / cold compile)"
+                )
+                print(json.dumps(out), flush=True)
+                os._exit(0)
+            time.sleep(2.0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+
+def measure_tpu(out: dict = None) -> float:
+    """Headline inference throughput. Progressively records partial figures
+    into ``out`` (the watchdog prints it on budget cutoff) and adapts the
+    measurement windows to the remaining budget: a degraded tunnel gets a
+    plain (RTT-polluted, conservative) figure rather than nothing."""
+    out = out if out is not None else {}
     import jax
     import jax.numpy as jnp
 
-    # executable cache: skips the (remote) compile on repeat runs
+    # executable cache: skips the (remote) compile on repeat runs. Threshold
+    # 1s so even the model.init program is cached — on a degraded tunnel
+    # (round 4's rc=124) every remote compile costs minutes, so every
+    # program this script compiles must be servable from the cache.
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pmt_learning_for_semantic_segmentation_and_disparity_tpu import models
@@ -46,7 +84,12 @@ def measure_tpu() -> float:
     key = jax.random.PRNGKey(0)
     left = jax.random.normal(key, (BATCH, H, W, 3), jnp.float32)
     right = jax.random.normal(key, (BATCH, H, W, 3), jnp.float32)
-    variables = model.init({"params": key}, left[:1], right[:1], train=False)
+    # jit the whole init: eager flax init issues one tiny backend compile
+    # PER initializer (~400 for densenet121), each paying a full tunnel
+    # round-trip — on a degraded relay that alone exceeds the bench budget.
+    variables = jax.jit(
+        lambda k, l, r: model.init({"params": k}, l, r, train=False)
+    )(key, left[:1], right[:1])
 
     if os.environ.get("PMT_BENCH_DTYPE", "bf16") == "bf16":
         # bf16 inference: params + activations in bfloat16 (MXU native);
@@ -59,8 +102,12 @@ def measure_tpu() -> float:
         left = left.astype(jnp.bfloat16)
         right = right.astype(jnp.bfloat16)
 
+    # variables passed as an argument (NOT closed over): closure constants
+    # are inlined into the MLIR one ir_constant at a time — minutes of
+    # lowering for 8M params on this host — and poison the persistent-cache
+    # key with parameter values.
     @jax.jit
-    def fwd(left, right):
+    def fwd(variables, left, right):
         out = model.apply(variables, left, right, train=False)
         return out["seg2"], out["disp1"]
 
@@ -69,18 +116,47 @@ def measure_tpu() -> float:
     # warmup / compile. Timer: host-transfer one element of the LAST output
     # instead of trusting block_until_ready — over the axon relay the latter
     # can return early (BENCH_NOTES round 1/3), inflating throughput.
-    for _ in range(WARMUP):
-        s, d = fwd(left, right)
+    # RTT-cancelling delta: time ITERS dispatches and 3*ITERS dispatches
+    # (each ending in one transfer) and divide the extra 2*ITERS by the
+    # delta — the constant relay round-trip cancels, so a latency spike on
+    # a degraded tunnel can't deflate the figure.
+    for i in range(WARMUP):
+        s, d = fwd(variables, left, right)
         np.asarray(d[0, 0, 0, :1])
+        if _remaining() < 180:  # degraded tunnel: one warmup must do
+            break
+    # Window sizes: the delta must be dominated by compute, not by the
+    # relay's RTT *variance* (seconds on a bad day) — 4*ITERS extra
+    # dispatches ≈ 7s of device time at the round-3 rate.
+    def record(v, timer):
+        out["value"] = round(v, 3)
+        out["timer"] = timer
+        base = load_baseline()
+        out["vs_baseline"] = round(v / base, 2) if base > 0 else 0.0
+
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        s, d = fwd(left, right)
+        s, d = fwd(variables, left, right)
     np.asarray(d[0, 0, 0, :1])
-    dt = time.perf_counter() - t0
-    return BATCH * ITERS / dt
+    dt1 = time.perf_counter() - t0
+    record(BATCH * ITERS / dt1, "plain-1-window (incl. one relay RTT)")
+    if _remaining() < 120:  # no time for the wide window; keep the partial
+        return out["value"]
+    t0 = time.perf_counter()
+    for _ in range(5 * ITERS):
+        s, d = fwd(variables, left, right)
+    np.asarray(d[0, 0, 0, :1])
+    dt5 = time.perf_counter() - t0
+    if dt5 > 1.2 * dt1:
+        record(BATCH * 4 * ITERS / (dt5 - dt1), "rtt-cancelling-delta")
+    else:
+        # an RTT spike landed in the FIRST window (dt1 >= dt5/1.2 is
+        # impossible for real compute); use the larger window's plain rate
+        record(BATCH * 5 * ITERS / dt5, "plain-5-window (incl. one RTT)")
+    return out["value"]
 
 
-def measure_train() -> dict:
+def measure_train(out: dict = None) -> dict:
     """Training-step throughput at the reference's training crop (256x512,
     batch 8, MultiTversky+OHEM stack — BASELINE.md config #3).
 
@@ -92,6 +168,7 @@ def measure_train() -> dict:
     matches the profiler's device time within 4% (BENCH_NOTES round 3b).
     Secondary: per-step host sync, which pays a full relay RTT every step.
     """
+    out = out if out is not None else {}
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -125,24 +202,26 @@ def measure_train() -> dict:
         "edges": jnp.zeros((tb, th, tw, 1), jnp.float32),
     }
     model = models.get_network(cfg)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        batch["left"][:1], batch["left"][:1], train=False,
-    )
+    variables = jax.jit(
+        lambda k1, k2, l: model.init({"params": k1, "dropout": k2},
+                                     l, l, train=False)
+    )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), batch["left"][:1])
     tx = build_optimizer(cfg.optim, cfg.model.net, len(cfg.loss.losses), 100)
     state = TrainState.create(model.apply, variables["params"],
                               variables.get("batch_stats", {}), tx)
     step = make_train_step(cfg, model, mesh=None)
     key = jax.random.PRNGKey(0)
-    state, m = step(state, batch, key)  # compile
-    float(m["loss"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, m = step(state, batch, jax.random.fold_in(key, i))
-        float(m["loss"])  # per-step host sync (axon early-return workaround)
-    dt = time.perf_counter() - t0
-    stepsync = tb * iters / dt
 
+    # Primary figure first (sustained scan chain) so a budget cutoff still
+    # records it; the per-step-sync secondary runs only with time to spare.
+    #
+    # RTT-cancelling delta timer: on a degraded relay a single host
+    # round-trip costs seconds and would swamp one 16-step chain (measured
+    # 8.9 "pairs/s" on a day the device itself was unchanged). Timing one
+    # chained call vs three back-to-back calls and dividing the DELTA by
+    # the two extra chains cancels the constant RTT: dispatch is async, so
+    # the three executions pipeline on device and the final transfer pays
+    # the same single round-trip as the one-call case.
     k_chain = 16
     def chain(st, b, k):
         def body(s, i):
@@ -151,15 +230,40 @@ def measure_train() -> dict:
             return s, mm["loss"]
         return jax.lax.scan(body, st, jnp.arange(k_chain))
     chain_j = jax.jit(chain, donate_argnums=(0,))
-    state, losses = chain_j(state, batch, key)  # compile + warm run
+    state2, losses = chain_j(state, batch, key)  # compile + warm run
     float(losses[-1])
     t0 = time.perf_counter()
-    state, losses = chain_j(state, batch, jax.random.fold_in(key, 1))
+    state2, losses = chain_j(state2, batch, jax.random.fold_in(key, 1))
     lv = float(losses[-1])
-    dt = time.perf_counter() - t0
-    return {"train_pairs_per_sec_per_chip_256x512": round(tb * k_chain / dt, 3),
-            "train_stepsync_pairs_per_sec": round(stepsync, 3),
-            "train_loss_finite": bool(np.isfinite(lv))}
+    dt1 = time.perf_counter() - t0
+    out["train_pairs_per_sec_per_chip_256x512"] = round(tb * k_chain / dt1, 3)
+    out["train_onechain_pairs_per_sec"] = round(tb * k_chain / dt1, 3)
+    out["train_loss_finite"] = bool(np.isfinite(lv))
+    if _remaining() < 90:  # partial (one chain, incl. one relay RTT)
+        return out
+    t0 = time.perf_counter()
+    for i in (2, 3, 4, 5, 6, 7, 8):
+        state2, losses = chain_j(state2, batch, jax.random.fold_in(key, i))
+    lv7 = float(losses[-1])
+    dt7 = time.perf_counter() - t0
+    if dt7 > 1.2 * dt1:
+        sustained = tb * k_chain * 6 / (dt7 - dt1)
+    else:  # RTT spike landed in the first window; use the larger window
+        sustained = tb * k_chain * 7 / dt7
+    out["train_pairs_per_sec_per_chip_256x512"] = round(sustained, 3)
+    out["train_loss_finite"] = bool(np.isfinite(lv) and np.isfinite(lv7))
+
+    if _remaining() > 75:
+        _STATE["phase"] = "train-stepsync"
+        state, m = step(state, batch, key)  # compile
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, m = step(state, batch, jax.random.fold_in(key, i))
+            float(m["loss"])  # per-step host sync (axon early-return workaround)
+        dt = time.perf_counter() - t0
+        out["train_stepsync_pairs_per_sec"] = round(tb * iters / dt, 3)
+    return out
 
 
 def load_baseline() -> float:
@@ -172,21 +276,33 @@ def load_baseline() -> float:
 
 
 def main():
-    value = measure_tpu()
-    base = load_baseline()
-    vs = value / base if base > 0 else 0.0
     out = {
         "metric": "stereo_pairs_per_sec_per_chip_512x960",
-        "value": round(value, 3),
+        "value": 0.0,
         "unit": "pairs/sec/chip",
-        "vs_baseline": round(vs, 2),
+        "vs_baseline": 0.0,
     }
+    _start_watchdog(out)
+    _STATE["phase"] = "inference"
+    measure_tpu(out)  # records value/vs_baseline progressively into out
+    # Train adds two more cold compiles (~1-2 min over a healthy tunnel);
+    # skip it rather than risk dying JSON-less if the budget is nearly gone.
     if os.environ.get("PMT_BENCH_TRAIN", "1") != "0":
-        try:
-            out.update(measure_train())
-        except Exception as e:  # keep the headline metric robust
-            out["train_error"] = repr(e)[:200]
-    print(json.dumps(out))
+        if _remaining() > 90:
+            _STATE["phase"] = "train"
+            for attempt in (1, 2):  # relay throws transient InvalidArgument
+                try:
+                    measure_train(out)  # records progressively into out
+                    out.pop("train_error", None)
+                    break
+                except Exception as e:  # keep the headline metric robust
+                    out["train_error"] = repr(e)[:200]
+                    if _remaining() < 120:
+                        break
+        else:
+            out["train_error"] = "skipped: <90s of bench budget left"
+    _STATE["done"] = True
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

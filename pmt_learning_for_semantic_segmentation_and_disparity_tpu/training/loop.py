@@ -143,9 +143,17 @@ class Session:
             left = jnp.concatenate(
                 [left, jnp.asarray(sample_batch["edges"][:1])], axis=-1
             )
-        variables = self.model.init(
-            {"params": jax.random.PRNGKey(cfg.run.seed), "dropout": jax.random.PRNGKey(1)},
-            left, left, train=False, **kwargs,
+        # jitted init: ONE compiled program instead of one tiny backend
+        # compile per initializer (eager flax init). Over the axon TPU
+        # relay the eager path costs a full tunnel round-trip per param —
+        # ~400 RPCs for densenet121 (minutes); jitted it is one compile.
+        variables = jax.jit(
+            lambda rngs, l, kw: self.model.init(rngs, l, l, train=False,
+                                                **kw)
+        )(
+            {"params": jax.random.PRNGKey(cfg.run.seed),
+             "dropout": jax.random.PRNGKey(1)},
+            left, kwargs,
         )
         if cfg.model.pretrained_path:
             # pretrained backbone import — the reference's torch-hub
