@@ -21,6 +21,14 @@ agreement at 1e-5 and bf16 agreement at bf16-roundoff scale.
 No reference analogue — the torch reference runs cuDNN's implicit-GEMM
 (models/dsnet_t2.py decoder chains); this is the TPU-native equivalent of
 cuDNN's own Winograd path.
+
+STATUS — measured and RETIRED (round 5, BENCH_NOTES "Winograd measured
+and retired"): this XLA-einsum formulation materializes the 16x tile
+tensor and its transform in HBM, so it is bandwidth-bound — 0.12x/0.33x
+vs the dense conv at the flagship shapes and OOM at the concat shape.
+The flag stays OFF; a competitive version needs a Pallas kernel that
+keeps the per-block transforms in VMEM. Kept because it is exact,
+tested, and documents the exploration.
 """
 from __future__ import annotations
 
