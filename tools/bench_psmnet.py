@@ -28,7 +28,7 @@ def main():
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from pmt_learning_for_semantic_segmentation_and_disparity_tpu import models
     from pmt_learning_for_semantic_segmentation_and_disparity_tpu.core import (
@@ -43,7 +43,9 @@ def main():
     key = jax.random.PRNGKey(0)
     left = jax.random.normal(key, (BATCH, H, W, 3), jnp.float32)
     right = jax.random.normal(key, (BATCH, H, W, 3), jnp.float32)
-    variables = model.init({"params": key}, left[:1], right[:1], train=False)
+    variables = jax.jit(
+        lambda k, l, r: model.init({"params": k}, l, r, train=False)
+    )(key, left[:1], right[:1])
 
     if os.environ.get("PSM_DTYPE", "bf16") == "bf16":
         cast = lambda t: jax.tree_util.tree_map(
@@ -53,17 +55,27 @@ def main():
         left = left.astype(jnp.bfloat16)
         right = right.astype(jnp.bfloat16)
 
+    # round-5 timer discipline (BENCH_NOTES): variables as jit args,
+    # host-transfer sync, RTT-cancelling delta window
+    import numpy as np
+
     @jax.jit
-    def fwd(left, right):
+    def fwd(variables, left, right):
         return model.apply(variables, left, right, train=False)["disp1"]
 
     for _ in range(2):
-        jax.block_until_ready(fwd(left, right))
+        np.asarray(fwd(variables, left, right)[0, 0, 0, :1])
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        d = fwd(left, right)
-    jax.block_until_ready(d)
-    dt = time.perf_counter() - t0
+        d = fwd(variables, left, right)
+    np.asarray(d[0, 0, 0, :1])
+    dt1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(5 * ITERS):
+        d = fwd(variables, left, right)
+    np.asarray(d[0, 0, 0, :1])
+    dt5 = time.perf_counter() - t0
+    dt = (dt5 - dt1) / 4 if dt5 > 1.2 * dt1 else dt5 / 5
 
     stats = {}
     try:
