@@ -142,17 +142,19 @@ def measure_tpu(out: dict = None) -> float:
     record(BATCH * ITERS / dt1, "plain-1-window (incl. one relay RTT)")
     if _remaining() < 120:  # no time for the wide window; keep the partial
         return out["value"]
+    # wide window 9x so RTT variance between windows is a few % of the
+    # delta (~15s of device time at the round-3 rate)
     t0 = time.perf_counter()
-    for _ in range(5 * ITERS):
+    for _ in range(9 * ITERS):
         s, d = fwd(variables, left, right)
     np.asarray(d[0, 0, 0, :1])
-    dt5 = time.perf_counter() - t0
-    if dt5 > 1.2 * dt1:
-        record(BATCH * 4 * ITERS / (dt5 - dt1), "rtt-cancelling-delta")
+    dt9 = time.perf_counter() - t0
+    if dt9 > 1.2 * dt1:
+        record(BATCH * 8 * ITERS / (dt9 - dt1), "rtt-cancelling-delta")
     else:
-        # an RTT spike landed in the FIRST window (dt1 >= dt5/1.2 is
+        # an RTT spike landed in the FIRST window (dt1 >= dt9/1.2 is
         # impossible for real compute); use the larger window's plain rate
-        record(BATCH * 5 * ITERS / dt5, "plain-5-window (incl. one RTT)")
+        record(BATCH * 9 * ITERS / dt9, "plain-9-window (incl. one RTT)")
     return out["value"]
 
 
@@ -239,30 +241,42 @@ def measure_train(out: dict = None) -> dict:
     out["train_pairs_per_sec_per_chip_256x512"] = round(tb * k_chain / dt1, 3)
     out["train_onechain_pairs_per_sec"] = round(tb * k_chain / dt1, 3)
     out["train_loss_finite"] = bool(np.isfinite(lv))
-    if _remaining() < 90:  # partial (one chain, incl. one relay RTT)
+    if _remaining() < 120:  # partial (one chain, incl. one relay RTT)
         return out
+    # Wide second window: 12 chains (~20s of device time) so the RTT
+    # *variance* between the two windows is <=5% of the delta — a 6-chain
+    # delta measured 12-16% above the round-3 profiler rate when the RTT
+    # difference between windows reached ~1s.
+    n_wide = 12
     t0 = time.perf_counter()
-    for i in (2, 3, 4, 5, 6, 7, 8):
+    for i in range(2, 2 + n_wide):
         state2, losses = chain_j(state2, batch, jax.random.fold_in(key, i))
-    lv7 = float(losses[-1])
-    dt7 = time.perf_counter() - t0
-    if dt7 > 1.2 * dt1:
-        sustained = tb * k_chain * 6 / (dt7 - dt1)
-    else:  # RTT spike landed in the first window; use the larger window
-        sustained = tb * k_chain * 7 / dt7
+    lvw = float(losses[-1])
+    dtw = time.perf_counter() - t0
+    if dtw > 1.2 * dt1 * n_wide / 4:  # sanity: wide window must dominate
+        sustained = tb * k_chain * (n_wide - 1) / (dtw - dt1)
+    else:
+        sustained = tb * k_chain * n_wide / dtw
     out["train_pairs_per_sec_per_chip_256x512"] = round(sustained, 3)
-    out["train_loss_finite"] = bool(np.isfinite(lv) and np.isfinite(lv7))
+    out["train_loss_finite"] = bool(np.isfinite(lv) and np.isfinite(lvw))
 
     if _remaining() > 75:
         _STATE["phase"] = "train-stepsync"
-        state, m = step(state, batch, key)  # compile
-        float(m["loss"])
-        t0 = time.perf_counter()
-        for i in range(iters):
-            state, m = step(state, batch, jax.random.fold_in(key, i))
-            float(m["loss"])  # per-step host sync (axon early-return workaround)
-        dt = time.perf_counter() - t0
-        out["train_stepsync_pairs_per_sec"] = round(tb * iters / dt, 3)
+        try:  # secondary figure: never let a relay error wipe the primaries
+            # NOTE: must use state2 — the original `state` was DONATED to
+            # chain_j's first call; reusing it surfaces as a backend
+            # INVALID_ARGUMENT over the relay instead of jax's usual
+            # "Array has been deleted".
+            state2, m = step(state2, batch, key)  # compile
+            float(m["loss"])
+            t0 = time.perf_counter()
+            for i in range(iters):
+                state2, m = step(state2, batch, jax.random.fold_in(key, i))
+                float(m["loss"])  # per-step host sync (relay early-return)
+            dt = time.perf_counter() - t0
+            out["train_stepsync_pairs_per_sec"] = round(tb * iters / dt, 3)
+        except Exception as e:
+            out["train_stepsync_error"] = repr(e)[:120]
     return out
 
 
