@@ -143,18 +143,22 @@ def measure_tpu(out: dict = None) -> float:
     if _remaining() < 120:  # no time for the wide window; keep the partial
         return out["value"]
     # wide window 9x so RTT variance between windows is a few % of the
-    # delta (~15s of device time at the round-3 rate)
+    # delta (~15s of device time at the round-3 rate); shrink to 5x when
+    # the budget is tight so the train phase still gets ITS wide window
+    mult = 9 if _remaining() > 300 else 5
     t0 = time.perf_counter()
-    for _ in range(9 * ITERS):
+    for _ in range(mult * ITERS):
         s, d = fwd(variables, left, right)
     np.asarray(d[0, 0, 0, :1])
     dt9 = time.perf_counter() - t0
     if dt9 > 1.2 * dt1:
-        record(BATCH * 8 * ITERS / (dt9 - dt1), "rtt-cancelling-delta")
+        record(BATCH * (mult - 1) * ITERS / (dt9 - dt1),
+               "rtt-cancelling-delta")
     else:
-        # an RTT spike landed in the FIRST window (dt1 >= dt9/1.2 is
+        # an RTT spike landed in the FIRST window (dt1 >= dt_wide/1.2 is
         # impossible for real compute); use the larger window's plain rate
-        record(BATCH * 9 * ITERS / dt9, "plain-9-window (incl. one RTT)")
+        record(BATCH * mult * ITERS / dt9,
+               f"plain-{mult}-window (incl. one RTT)")
     return out["value"]
 
 
