@@ -38,7 +38,9 @@ def time_compile(batch: int) -> float:
     model = models.get_network(cfg)
     key = jax.random.PRNGKey(0)
     left = jnp.zeros((batch, H, W, 3), jnp.bfloat16)
-    variables = model.init({"params": key}, left[:1], left[:1], train=False)
+    variables = jax.jit(
+        lambda k, l: model.init({"params": k}, l, l, train=False)
+    )(key, left[:1])
     variables = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         variables)

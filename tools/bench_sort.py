@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 C, N = 2, 8 * 256 * 512
 

@@ -34,7 +34,7 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     tmp = tempfile.mkdtemp(prefix="overfit_")
     epochs = int(os.environ.get("OVERFIT_EPOCHS", "40"))

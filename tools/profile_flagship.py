@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from pmt_learning_for_semantic_segmentation_and_disparity_tpu import models
 from pmt_learning_for_semantic_segmentation_and_disparity_tpu.core import PMTConfig
@@ -27,7 +27,9 @@ def main():
     model = models.get_network(cfg)
     key = jax.random.PRNGKey(0)
     left = jax.random.normal(key, (BATCH, H, W, 3), jnp.float32)
-    variables = model.init({"params": key}, left[:1], left[:1], train=False)
+    variables = jax.jit(
+        lambda k, l: model.init({"params": k}, l, l, train=False)
+    )(key, left[:1])
     cast = lambda t: jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
     )

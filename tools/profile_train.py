@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from pmt_learning_for_semantic_segmentation_and_disparity_tpu import models
 from pmt_learning_for_semantic_segmentation_and_disparity_tpu.core import PMTConfig
@@ -45,10 +45,10 @@ def main():
         "edges": jnp.zeros((tb, th, tw, 1), jnp.float32),
     }
     model = models.get_network(cfg)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        batch["left"][:1], batch["left"][:1], train=False,
-    )
+    variables = jax.jit(
+        lambda k1, k2, l: model.init({"params": k1, "dropout": k2},
+                                     l, l, train=False)
+    )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), batch["left"][:1])
     tx = build_optimizer(cfg.optim, cfg.model.net, len(cfg.loss.losses), 100)
     state = TrainState.create(model.apply, variables["params"],
                               variables.get("batch_stats", {}), tx)

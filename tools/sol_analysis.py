@@ -54,10 +54,10 @@ def main():
         "edges": jnp.zeros((tb, th, tw, 1), jnp.float32),
     }
     model = models.get_network(cfg)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        batch["left"][:1], batch["left"][:1], train=False,
-    )
+    variables = jax.jit(
+        lambda k1, k2, l: model.init({"params": k1, "dropout": k2},
+                                     l, l, train=False)
+    )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), batch["left"][:1])
     tx = build_optimizer(cfg.optim, cfg.model.net, len(cfg.loss.losses), 100)
     state = TrainState.create(model.apply, variables["params"],
                               variables.get("batch_stats", {}), tx)
